@@ -1,0 +1,685 @@
+"""TPU-native Gauss-Seidel smoothers: multicolor node relaxation and
+multicolor line relaxation.
+
+The reference smoothers (emg3d/core.py:210-1348) are strictly sequential:
+lexicographic Gauss-Seidel over nodes (6 coupled edges per node, solved as
+one complex-symmetric 6x6 system, Arnold-Falk-Winther smoother) and over
+lines (banded complex-symmetric system of 5n-4 unknowns per line, solved
+with a non-standard LDL^T, core.py:1481-1616).
+
+A TPU has no efficient sequential scalar path, so the idiomatic rebuild
+uses *multicolor* orderings, which preserve the exact per-node/per-line
+subsystem solves while exposing full data parallelism:
+
+- Node smoother: 8-color (2x2x2 parity) ordering over the interior
+  nodes.  A node's 6x6 system reads edges written only by nodes in its
+  3x3x3 neighbourhood; nodes of equal parity in all three coordinates
+  differ by even offsets, so each color class is a true independent set
+  (distance-2 coloring) — every phase is an exact Gauss-Seidel update
+  with the latest neighbour values, unlike a 2-coloring which degrades
+  to within-color Jacobi and ruins the multigrid convergence factor.
+  Each phase operates on the stride-2 subgrid of its color, so the
+  total work per sweep equals one full-grid sweep.
+
+- Line relaxation: lines along one axis are 4-colored by the parity
+  pair of the transverse node coordinates (same argument: line systems
+  couple only to transversely-adjacent lines).  The per-line banded
+  system is solved as a *block-tridiagonal* system with 5x5 blocks via
+  batched block-Thomas elimination under ``lax.scan`` — all lines of
+  one color solve simultaneously per step.  (The banded layout of the
+  reference, core.py:1351-1477, is equivalent: ``middle`` is the
+  diagonal block, ``left`` the sub-diagonal block.)
+
+Convergence-rate parity with the reference's lexicographic ordering is
+established by the solver-level tests (cycles to 1e-6), not bitwise
+equality — the standard trade for parallel smoothers.
+
+The y- and z-variants are obtained from the x-variant by coordinate
+permutation (the curl-curl operator is permutation-covariant), replacing
+the reference's three hand-written kernels (core.py:506-1348).
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["gauss_seidel", "gauss_seidel_line", "solve_banded_5x5"]
+
+
+# -------------------------------------------------------------------------
+# Small dense solves, unrolled (no pivoting — mirrors reference
+# core.py:1481-1616 which factors without pivoting).
+# -------------------------------------------------------------------------
+
+def _solve_lower_unrolled(mat_rows, rhs_rows):
+    """Gaussian elimination without pivoting, fully unrolled.
+
+    ``mat_rows``: list of n arrays (..., n) — the matrix rows;
+    ``rhs_rows``: list of n arrays (..., m) — the rhs rows.
+    Returns list of n arrays (..., m) — the solution rows.
+    """
+    n = len(mat_rows)
+    rows = list(mat_rows)
+    rhs = list(rhs_rows)
+
+    for k in range(n):
+        inv_piv = 1.0 / rows[k][..., k]
+        for i in range(k + 1, n):
+            f = rows[i][..., k] * inv_piv
+            rows[i] = rows[i] - f[..., None] * rows[k]
+            rhs[i] = rhs[i] - f[..., None] * rhs[k]
+
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = rhs[i]
+        for j in range(i + 1, n):
+            acc = acc - rows[i][..., j, None] * x[j]
+        x[i] = acc / rows[i][..., i, None]
+    return x
+
+
+def _solve5(mat, rhs):
+    """Solve batched 5x5 systems: mat (..., 5, 5), rhs (..., 5, m)."""
+    rows = [mat[..., i, :] for i in range(5)]
+    rr = [rhs[..., i, :] for i in range(5)]
+    x = _solve_lower_unrolled(rows, rr)
+    return jnp.stack(x, axis=-2)
+
+
+def solve_banded_5x5(mat, rhs):
+    """Public alias used by tests: batched 5x5 dense solve."""
+    return _solve5(mat, rhs)
+
+
+def _solve6(rows, rhs):
+    """Solve batched 6x6 systems given as 6 row-arrays and 6 rhs entries.
+
+    rows[i]: (..., 6); rhs[i]: (...,).  Returns list of 6 (...) arrays.
+    """
+    rr = [r[..., None] for r in rhs]
+    x = _solve_lower_unrolled(rows, rr)
+    return [xi[..., 0] for xi in x]
+
+
+# -------------------------------------------------------------------------
+# Shared coefficient assembly.
+#
+# Naming follows the reference (core.py:350-374): m{ab}{L|R}{x|y|z}{m|p} is
+# the averaged 1/mu_r (zeta) coefficient of the curl-curl stencil; e.g.
+# mzyRxm couples through the y-derivative at the right (R) y-side of the
+# x-edge left (m) of the node.
+# -------------------------------------------------------------------------
+
+def _zeta_gathers(zeta_a, zeta_b):
+    """All eight (x in {a,b}) x (y in {m,p}) x (z in {m,p}) zeta gathers.
+
+    ``zeta_a``/``zeta_b`` are the two x-gathers of zeta (shape (X, ny, nz));
+    returns dict with keys like 'amp' = (x=a, y=m, z=p), each of shape
+    (X, ny-1, nz-1).
+    """
+    out = {}
+    for xk, zz in (("a", zeta_a), ("b", zeta_b)):
+        out[xk + "mm"] = zz[:, :-1, :-1]
+        out[xk + "mp"] = zz[:, :-1, 1:]
+        out[xk + "pm"] = zz[:, 1:, :-1]
+        out[xk + "pp"] = zz[:, 1:, 1:]
+    return out
+
+
+def _m_coefficients(z, kxa, kxb, kym, kyp, kzm, kzp):
+    """The 24 averaged-zeta coefficients (reference core.py:350-374).
+
+    ``z`` is the gather dict from :func:`_zeta_gathers`; the k* are the
+    half-inverse widths 0.5/h broadcast to the block shape.
+    """
+    m = {}
+    m["zyLxm"] = kym * (z["amp"] + z["amm"])
+    m["zyRxm"] = kyp * (z["app"] + z["apm"])
+    m["yzLxm"] = kzm * (z["apm"] + z["amm"])
+    m["yzRxm"] = kzp * (z["app"] + z["amp"])
+    m["zyLxp"] = kym * (z["bmp"] + z["bmm"])
+    m["zyRxp"] = kyp * (z["bpp"] + z["bpm"])
+    m["yzLxp"] = kzm * (z["bpm"] + z["bmm"])
+    m["yzRxp"] = kzp * (z["bpp"] + z["bmp"])
+    m["zxLym"] = kxa * (z["amp"] + z["amm"])
+    m["zxRym"] = kxb * (z["bmp"] + z["bmm"])
+    m["xzLym"] = kzm * (z["bmm"] + z["amm"])
+    m["xzRym"] = kzp * (z["bmp"] + z["amp"])
+    m["zxLyp"] = kxa * (z["app"] + z["apm"])
+    m["zxRyp"] = kxb * (z["bpp"] + z["bpm"])
+    m["xzLyp"] = kzm * (z["bpm"] + z["apm"])
+    m["xzRyp"] = kzp * (z["bpp"] + z["app"])
+    m["yxLzm"] = kxa * (z["apm"] + z["amm"])
+    m["yxRzm"] = kxb * (z["bpm"] + z["bmm"])
+    m["xyLzm"] = kym * (z["bmm"] + z["amm"])
+    m["xyRzm"] = kyp * (z["bpm"] + z["apm"])
+    m["yxLzp"] = kxa * (z["app"] + z["amp"])
+    m["yxRzp"] = kxb * (z["bpp"] + z["bmp"])
+    m["xyLzp"] = kym * (z["bmp"] + z["amp"])
+    m["xyRzp"] = kyp * (z["bpp"] + z["app"])
+    return m
+
+
+def _eta_pairsums(eta_x, eta_y, eta_z):
+    """4-cell sums of eta around the edges (full cell extents kept).
+
+    EX: (nx, ny-1, nz-1); EY: (nx-1, ny, nz-1); EZ: (nx-1, ny-1, nz).
+    """
+    ex4 = (eta_x[:, :-1, :-1] + eta_x[:, 1:, :-1]
+           + eta_x[:, :-1, 1:] + eta_x[:, 1:, 1:])
+    ey4 = (eta_y[:-1, :, :-1] + eta_y[1:, :, :-1]
+           + eta_y[:-1, :, 1:] + eta_y[1:, :, 1:])
+    ez4 = (eta_z[:-1, :-1, :] + eta_z[1:, :-1, :]
+           + eta_z[:-1, 1:, :] + eta_z[1:, 1:, :])
+    return ex4, ey4, ez4
+
+
+# -------------------------------------------------------------------------
+# 8-color point smoother (reference gauss_seidel, core.py:210-503).
+# -------------------------------------------------------------------------
+
+def gauss_seidel(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+                 hx, hy, hz, nu):
+    """8-color node smoother: per node, solve its 6-edge 6x6 subsystem.
+
+    All interior nodes of one (x, y, z)-parity class are relaxed
+    simultaneously (their systems are fully decoupled); eight phases per
+    sweep; ``nu`` sweeps with alternating phase order (the analogue of the
+    reference's alternating forward/backward ordering, core.py:308-311).
+    Returns the updated (ex, ey, ez).
+    """
+    nx, ny, nz = hx.size, hy.size, hz.size
+
+    kx, ky, kz = 0.5 / hx, 0.5 / hy, 0.5 / hz
+    ihx, ihy, ihz = 1.0 / hx, 1.0 / hy, 1.0 / hz
+
+    # Coefficient broadcasts on the interior-node block (nx-1, ny-1, nz-1).
+    kxa = kx[:-1][:, None, None]
+    kxb = kx[1:][:, None, None]
+    kym = ky[:-1][None, :, None]
+    kyp = ky[1:][None, :, None]
+    kzm = kz[:-1][None, None, :]
+    kzp = kz[1:][None, None, :]
+    ihxa_f = ihx[:-1]
+    ihxb_f = ihx[1:]
+    ihym_f = ihy[:-1]
+    ihyp_f = ihy[1:]
+    ihzm_f = ihz[:-1]
+    ihzp_f = ihz[1:]
+    ihxa = ihxa_f[:, None, None]
+    ihxb = ihxb_f[:, None, None]
+    ihym = ihym_f[None, :, None]
+    ihyp = ihyp_f[None, :, None]
+    ihzm = ihzm_f[None, None, :]
+    ihzp = ihzp_f[None, None, :]
+
+    # zeta x-gathers for the node block: a = cells [0:nx-1], b = [1:nx].
+    z = _zeta_gathers(zeta[:-1], zeta[1:])
+    m = _m_coefficients(z, kxa, kxb, kym, kyp, kzm, kzp)
+
+    # Diagonal eta sums (divided by 4, reference core.py:390).
+    ex4, ey4, ez4 = _eta_pairsums(eta_x, eta_y, eta_z)
+    st0 = ex4[:-1] / 4.0
+    st1 = ex4[1:] / 4.0
+    st2 = ey4[:, :-1, :] / 4.0
+    st3 = ey4[:, 1:, :] / 4.0
+    st4 = ez4[:, :, :-1] / 4.0
+    st5 = ez4[:, :, 1:] / 4.0
+
+    # 6x6 system rows on the full node block (lower+upper by symmetry;
+    # core.py:392-430).
+    zero = jnp.zeros(jnp.broadcast_shapes(st0.shape, m["zyRxm"].shape),
+                     dtype=st0.dtype)
+
+    a00 = (-st0 + m["zyRxm"] * ihyp + m["zyLxm"] * ihym
+           + m["yzRxm"] * ihzp + m["yzLxm"] * ihzm)
+    a11 = (-st1 + m["zyRxp"] * ihyp + m["zyLxp"] * ihym
+           + m["yzRxp"] * ihzp + m["yzLxp"] * ihzm)
+    a22 = (-st2 + m["zxRym"] * ihxb + m["zxLym"] * ihxa
+           + m["xzRym"] * ihzp + m["xzLym"] * ihzm)
+    a33 = (-st3 + m["zxRyp"] * ihxb + m["zxLyp"] * ihxa
+           + m["xzRyp"] * ihzp + m["xzLyp"] * ihzm)
+    a44 = (-st4 + m["yxRzm"] * ihxb + m["yxLzm"] * ihxa
+           + m["xyRzm"] * ihyp + m["xyLzm"] * ihym)
+    a55 = (-st5 + m["yxRzp"] * ihxb + m["yxLzp"] * ihxa
+           + m["xyRzp"] * ihyp + m["xyLzp"] * ihym)
+
+    a20 = -m["zyLxm"] * ihxa + zero
+    a30 = m["zyRxm"] * ihxa + zero
+    a40 = -m["yzLxm"] * ihxa + zero
+    a50 = m["yzRxm"] * ihxa + zero
+    a21 = m["zyLxp"] * ihxb + zero
+    a31 = -m["zyRxp"] * ihxb + zero
+    a41 = m["yzLxp"] * ihxb + zero
+    a51 = -m["yzRxp"] * ihxb + zero
+    a42 = -m["xzLym"] * ihym + zero
+    a52 = m["xzRym"] * ihym + zero
+    a43 = m["xzLyp"] * ihyp + zero
+    a53 = -m["xzRyp"] * ihyp + zero
+    a10 = a32 = a54 = zero
+
+    rows_full = [
+        jnp.stack([a00, a10, a20, a30, a40, a50], axis=-1),
+        jnp.stack([a10, a11, a21, a31, a41, a51], axis=-1),
+        jnp.stack([a20, a21, a22, a32, a42, a52], axis=-1),
+        jnp.stack([a30, a31, a32, a33, a43, a53], axis=-1),
+        jnp.stack([a40, a41, a42, a43, a44, a54], axis=-1),
+        jnp.stack([a50, a51, a52, a53, a54, a55], axis=-1),
+    ]
+
+    # Coefficient dict of full-block (nx-1, ny-1, nz-1) arrays, for
+    # per-phase strided slicing.
+    m_full = {k: jnp.broadcast_to(v, zero.shape) for k, v in m.items()}
+
+    # Per-phase slice helpers.  A phase relaxes the interior nodes with
+    # (ix-1, iy-1, iz-1) = (px, py, pz) mod 2, i.e. the stride-2 subgrid
+    # starting at block offset (px, py, pz).
+    def csl(o, n, p):   # cell-type slice at the phase nodes: o in {0, 1}.
+        return slice(o + p, n - 1 + o, 2)
+
+    def nsl(d, n, p):   # node-type slice: d in {-1, 0, 1}.
+        return slice(1 + d + p, n + d, 2)
+
+    def phase(fields, px, py, pz):
+        ex, ey, ez = fields
+        sub = (slice(px, None, 2), slice(py, None, 2), slice(pz, None, 2))
+
+        rows = [r[sub] for r in rows_full]
+        mp = {k: v[sub] for k, v in m_full.items()}
+        pihxa = ihxa_f[px::2][:, None, None]
+        pihxb = ihxb_f[px::2][:, None, None]
+        pihym = ihym_f[py::2][None, :, None]
+        pihyp = ihyp_f[py::2][None, :, None]
+        pihzm = ihzm_f[pz::2][None, None, :]
+        pihzp = ihzp_f[pz::2][None, None, :]
+
+        def gex(f, o, dy, dz):
+            return f[csl(o, nx, px), nsl(dy, ny, py), nsl(dz, nz, pz)]
+
+        def gey(f, dx, o, dz):
+            return f[nsl(dx, nx, px), csl(o, ny, py), nsl(dz, nz, pz)]
+
+        def gez(f, dx, dy, o):
+            return f[nsl(dx, nx, px), nsl(dy, ny, py), csl(o, nz, pz)]
+
+        # rhs = b - (couplings to all 12 non-node edges); core.py:432-492.
+        # Cell-axis offsets o: 0 = minus cell (i-1), 1 = plus cell (i);
+        # node-axis offsets d: -1/0/+1 relative to the node.
+        r0 = (gex(sx, 0, 0, 0)
+              + mp["zyRxm"] * (gey(ey, -1, 1, 0) * pihxa
+                               + gex(ex, 0, 1, 0) * pihyp)
+              + mp["zyLxm"] * (-gey(ey, -1, 0, 0) * pihxa
+                               + gex(ex, 0, -1, 0) * pihym)
+              + mp["yzRxm"] * (gez(ez, -1, 0, 1) * pihxa
+                               + gex(ex, 0, 0, 1) * pihzp)
+              + mp["yzLxm"] * (-gez(ez, -1, 0, 0) * pihxa
+                               + gex(ex, 0, 0, -1) * pihzm))
+
+        r1 = (gex(sx, 1, 0, 0)
+              + mp["zyRxp"] * (-gey(ey, 1, 1, 0) * pihxb
+                               + gex(ex, 1, 1, 0) * pihyp)
+              + mp["zyLxp"] * (gey(ey, 1, 0, 0) * pihxb
+                               + gex(ex, 1, -1, 0) * pihym)
+              + mp["yzRxp"] * (-gez(ez, 1, 0, 1) * pihxb
+                               + gex(ex, 1, 0, 1) * pihzp)
+              + mp["yzLxp"] * (gez(ez, 1, 0, 0) * pihxb
+                               + gex(ex, 1, 0, -1) * pihzm))
+
+        r2 = (gey(sy, 0, 0, 0)
+              + mp["zxRym"] * (gey(ey, 1, 0, 0) * pihxb
+                               + gex(ex, 1, -1, 0) * pihym)
+              + mp["zxLym"] * (gey(ey, -1, 0, 0) * pihxa
+                               - gex(ex, 0, -1, 0) * pihym)
+              + mp["xzRym"] * (gez(ez, 0, -1, 1) * pihym
+                               + gey(ey, 0, 0, 1) * pihzp)
+              + mp["xzLym"] * (-gez(ez, 0, -1, 0) * pihym
+                               + gey(ey, 0, 0, -1) * pihzm))
+
+        r3 = (gey(sy, 0, 1, 0)
+              + mp["zxRyp"] * (gey(ey, 1, 1, 0) * pihxb
+                               - gex(ex, 1, 1, 0) * pihyp)
+              + mp["zxLyp"] * (gey(ey, -1, 1, 0) * pihxa
+                               + gex(ex, 0, 1, 0) * pihyp)
+              + mp["xzRyp"] * (-gez(ez, 0, 1, 1) * pihyp
+                               + gey(ey, 0, 1, 1) * pihzp)
+              + mp["xzLyp"] * (gez(ez, 0, 1, 0) * pihyp
+                               + gey(ey, 0, 1, -1) * pihzm))
+
+        r4 = (gez(sz, 0, 0, 0)
+              + mp["yxRzm"] * (gez(ez, 1, 0, 0) * pihxb
+                               + gex(ex, 1, 0, -1) * pihzm)
+              + mp["yxLzm"] * (gez(ez, -1, 0, 0) * pihxa
+                               - gex(ex, 0, 0, -1) * pihzm)
+              + mp["xyRzm"] * (gez(ez, 0, 1, 0) * pihyp
+                               + gey(ey, 0, 1, -1) * pihzm)
+              + mp["xyLzm"] * (gez(ez, 0, -1, 0) * pihym
+                               - gey(ey, 0, 0, -1) * pihzm))
+
+        r5 = (gez(sz, 0, 0, 1)
+              + mp["yxRzp"] * (gez(ez, 1, 0, 1) * pihxb
+                               - gex(ex, 1, 0, 1) * pihzp)
+              + mp["yxLzp"] * (gez(ez, -1, 0, 1) * pihxa
+                               + gex(ex, 0, 0, 1) * pihzp)
+              + mp["xyRzp"] * (gez(ez, 0, 1, 1) * pihyp
+                               - gey(ey, 0, 1, 1) * pihzp)
+              + mp["xyLzp"] * (gez(ez, 0, -1, 1) * pihym
+                               + gey(ey, 0, 0, 1) * pihzp))
+
+        sol = _solve6(rows, [r0, r1, r2, r3, r4, r5])
+
+        # Scatter the solutions to the six adjacent edges of the phase's
+        # nodes — disjoint strided targets, no masking needed.
+        ex = ex.at[csl(0, nx, px), nsl(0, ny, py), nsl(0, nz, pz)].set(sol[0])
+        ex = ex.at[csl(1, nx, px), nsl(0, ny, py), nsl(0, nz, pz)].set(sol[1])
+        ey = ey.at[nsl(0, nx, px), csl(0, ny, py), nsl(0, nz, pz)].set(sol[2])
+        ey = ey.at[nsl(0, nx, px), csl(1, ny, py), nsl(0, nz, pz)].set(sol[3])
+        ez = ez.at[nsl(0, nx, px), nsl(0, ny, py), csl(0, nz, pz)].set(sol[4])
+        ez = ez.at[nsl(0, nx, px), nsl(0, ny, py), csl(1, nz, pz)].set(sol[5])
+        return ex, ey, ez
+
+    # Phase list; skip parities with no nodes (tiny grids).
+    colors = [(px, py, pz) for pz, py, px in
+              itertools.product((0, 1), repeat=3)
+              if px < nx - 1 and py < ny - 1 and pz < nz - 1]
+
+    fields = (ex, ey, ez)
+    for sweep in range(nu):
+        order = colors if sweep % 2 == 0 else colors[::-1]
+        for c in order:
+            fields = phase(fields, *c)
+
+    return fields
+
+
+# -------------------------------------------------------------------------
+# 4-color line relaxation (reference gauss_seidel_{x,y,z} + blocks_to_amat
+# + banded solve, core.py:506-1616), expressed as batched block-tridiagonal
+# (5x5 blocks) solves.
+# -------------------------------------------------------------------------
+
+def _line_relax_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+                  hx, hy, hz, nu):
+    """Line relaxation along x, 4-colored over (y, z) line parities."""
+    nx, ny, nz = hx.size, hy.size, hz.size
+    cdtype = ex.dtype
+
+    kx, ky, kz = 0.5 / hx, 0.5 / hy, 0.5 / hz
+    ihx, ihy, ihz = 1.0 / hx, 1.0 / hy, 1.0 / hz
+
+    # x-gathers: a = g (the group index, 0..nx-1), b = min(g+1, nx-1).
+    idx_b = jnp.minimum(jnp.arange(nx) + 1, nx - 1)
+    hx_b = hx[idx_b]
+    kxa = kx[:, None, None]
+    kxb = (0.5 / hx_b)[:, None, None]
+    ihxa = ihx[:, None, None]
+    ihxb = (1.0 / hx_b)[:, None, None]
+    kym = ky[:-1][None, :, None]
+    kyp = ky[1:][None, :, None]
+    kzm = kz[:-1][None, None, :]
+    kzp = kz[1:][None, None, :]
+    ihym_f = ihy[:-1]
+    ihyp_f = ihy[1:]
+    ihzm_f = ihz[:-1]
+    ihzp_f = ihz[1:]
+    ihym = ihym_f[None, :, None]
+    ihyp = ihyp_f[None, :, None]
+    ihzm = ihzm_f[None, None, :]
+    ihzp = ihzp_f[None, None, :]
+
+    z = _zeta_gathers(zeta, zeta[idx_b])
+    m = _m_coefficients(z, kxa, kxb, kym, kyp, kzm, kzp)
+
+    eta_y_b = eta_y[idx_b]
+    eta_z_b = eta_z[idx_b]
+
+    ex4 = (eta_x[:, :-1, :-1] + eta_x[:, 1:, :-1]
+           + eta_x[:, :-1, 1:] + eta_x[:, 1:, 1:])
+    st0 = ex4 / 4.0
+    st2 = (eta_y_b[:, :-1, :-1] + eta_y_b[:, :-1, 1:]
+           + eta_y[:, :-1, :-1] + eta_y[:, :-1, 1:]) / 4.0
+    st3 = (eta_y_b[:, 1:, :-1] + eta_y_b[:, 1:, 1:]
+           + eta_y[:, 1:, :-1] + eta_y[:, 1:, 1:]) / 4.0
+    st4 = (eta_z_b[:, 1:, :-1] + eta_z_b[:, :-1, :-1]
+           + eta_z[:, 1:, :-1] + eta_z[:, :-1, :-1]) / 4.0
+    st5 = (eta_z_b[:, 1:, 1:] + eta_z_b[:, :-1, 1:]
+           + eta_z[:, 1:, 1:] + eta_z[:, :-1, 1:]) / 4.0
+
+    blk = (nx, ny - 1, nz - 1)
+    zero = jnp.zeros(blk, dtype=cdtype)
+
+    def bc(v):
+        return jnp.broadcast_to(v, blk).astype(cdtype)
+
+    # Diagonal 5x5 block ``middle`` (core.py:680-711); unknown order
+    # [ex(g), ey-, ey+, ez-, ez+] at node g+1.
+    m00 = bc(-st0 + m["zyRxm"] * ihyp + m["zyLxm"] * ihym
+             + m["yzRxm"] * ihzp + m["yzLxm"] * ihzm)
+    m11 = bc(-st2 + m["zxRym"] * ihxb + m["zxLym"] * ihxa
+             + m["xzRym"] * ihzp + m["xzLym"] * ihzm)
+    m22 = bc(-st3 + m["zxRyp"] * ihxb + m["zxLyp"] * ihxa
+             + m["xzRyp"] * ihzp + m["xzLyp"] * ihzm)
+    m33 = bc(-st4 + m["yxRzm"] * ihxb + m["yxLzm"] * ihxa
+             + m["xyRzm"] * ihyp + m["xyLzm"] * ihym)
+    m44 = bc(-st5 + m["yxRzp"] * ihxb + m["yxLzp"] * ihxa
+             + m["xyRzp"] * ihyp + m["xyLzp"] * ihym)
+    m10 = bc(-m["zyLxm"] * ihxa)
+    m20 = bc(m["zyRxm"] * ihxa)
+    m30 = bc(-m["yzLxm"] * ihxa)
+    m40 = bc(m["yzRxm"] * ihxa)
+    m31 = bc(-m["xzLym"] * ihym)
+    m41 = bc(m["xzRym"] * ihym)
+    m32 = bc(m["xzLyp"] * ihyp)
+    m42 = bc(-m["xzRyp"] * ihyp)
+
+    mid = jnp.stack([
+        jnp.stack([m00, m10, m20, m30, m40], axis=-1),
+        jnp.stack([m10, m11, zero, m31, m41], axis=-1),
+        jnp.stack([m20, zero, m22, m32, m42], axis=-1),
+        jnp.stack([m30, m31, m32, m33, zero], axis=-1),
+        jnp.stack([m40, m41, m42, zero, m44], axis=-1),
+    ], axis=-2)
+
+    # Sub-diagonal block ``left`` (coupling to group g-1; core.py:713-721):
+    # row 0 couples ex(g) to [ey-, ey+, ez-, ez+] of group g-1, and the
+    # transverse edges couple to their left x-neighbour on the diagonal.
+    l01 = bc(m["zyLxm"] * ihxa)
+    l02 = bc(-m["zyRxm"] * ihxa)
+    l03 = bc(m["yzLxm"] * ihxa)
+    l04 = bc(-m["yzRxm"] * ihxa)
+    l11 = bc(-m["zxLym"] * ihxa)
+    l22 = bc(-m["zxLyp"] * ihxa)
+    l33 = bc(-m["yxLzm"] * ihxa)
+    l44 = bc(-m["yxLzp"] * ihxa)
+
+    left = jnp.stack([
+        jnp.stack([zero, l01, l02, l03, l04], axis=-1),
+        jnp.stack([zero, l11, zero, zero, zero], axis=-1),
+        jnp.stack([zero, zero, l22, zero, zero], axis=-1),
+        jnp.stack([zero, zero, zero, l33, zero], axis=-1),
+        jnp.stack([zero, zero, zero, zero, l44], axis=-1),
+    ], axis=-2)
+
+    # Last group (g = nx-1) holds only the ex unknown: identity-pad the
+    # other four and keep only row 0 of ``left`` (core.py:1467-1477).
+    eye_pad = jnp.eye(5, dtype=cdtype).at[0, 0].set(0.0)
+    last_mid = (jnp.zeros((5, 5), dtype=cdtype).at[0, 0].set(1.0)
+                * m00[-1][..., None, None] + eye_pad)
+    mid = mid.at[-1].set(last_mid)
+    left = left.at[-1, :, :, 1:, :].set(0.0)
+
+    # Off-line couplings use the m coefficients too; broadcast them to the
+    # full block once for per-phase slicing.
+    m_full = {k: bc(v) for k, v in m.items()}
+
+    def phase(fields, py, pz):
+        """Relax the lines at interior (y, z) nodes with parity (py, pz)."""
+        ex, ey, ez = fields
+
+        sub = (slice(None), slice(py, None, 2), slice(pz, None, 2))
+        mp = {k: v[sub] for k, v in m_full.items()}
+        mid_p = mid[sub]
+        left_p = left[sub]
+
+        pihym = ihym_f[py::2][None, :, None]
+        pihyp = ihyp_f[py::2][None, :, None]
+        pihzm = ihzm_f[pz::2][None, None, :]
+        pihzp = ihzp_f[pz::2][None, None, :]
+
+        # Transverse slices (strided interior nodes / their cells).
+        ycN = slice(1 + py, ny, 2)
+        ypN = slice(2 + py, ny + 1, 2)
+        ymN = slice(py, ny - 1, 2)
+        ymC = slice(py, ny - 1, 2)
+        ypC = slice(1 + py, ny, 2)
+        zcN = slice(1 + pz, nz, 2)
+        zpN = slice(2 + pz, nz + 1, 2)
+        zmN = slice(pz, nz - 1, 2)
+        zmC = slice(pz, nz - 1, 2)
+        zpC = slice(1 + pz, nz, 2)
+
+        ex_b = ex[idx_b]
+        ey_b = ey[idx_b]
+        ez_b = ez[idx_b]
+        sy_b = sy[idx_b]
+        sz_b = sz[idx_b]
+
+        # Off-line couplings moved to the rhs (core.py:723-766).
+        r0 = (sx[:, ycN, zcN]
+              + mp["zyRxm"] * ex[:, ypN, zcN] * pihyp
+              + mp["zyLxm"] * ex[:, ymN, zcN] * pihym
+              + mp["yzRxm"] * ex[:, ycN, zpN] * pihzp
+              + mp["yzLxm"] * ex[:, ycN, zmN] * pihzm)
+
+        r1 = (sy_b[:, ymC, zcN]
+              + (mp["zxRym"] * ex_b[:, ymN, zcN]
+                 - mp["zxLym"] * ex[:, ymN, zcN]
+                 + mp["xzRym"] * ez_b[:, ymN, zpC]
+                 - mp["xzLym"] * ez_b[:, ymN, zmC]) * pihym
+              + mp["xzRym"] * ey_b[:, ymC, zpN] * pihzp
+              + mp["xzLym"] * ey_b[:, ymC, zmN] * pihzm)
+
+        r2 = (sy_b[:, ypC, zcN]
+              + (mp["zxLyp"] * ex[:, ypN, zcN]
+                 - mp["zxRyp"] * ex_b[:, ypN, zcN]
+                 + mp["xzLyp"] * ez_b[:, ypN, zmC]
+                 - mp["xzRyp"] * ez_b[:, ypN, zpC]) * pihyp
+              + mp["xzRyp"] * ey_b[:, ypC, zpN] * pihzp
+              + mp["xzLyp"] * ey_b[:, ypC, zmN] * pihzm)
+
+        r3 = (sz_b[:, ycN, zmC]
+              + (mp["yxRzm"] * ex_b[:, ycN, zmN]
+                 - mp["yxLzm"] * ex[:, ycN, zmN]
+                 + mp["xyRzm"] * ey_b[:, ypC, zmN]
+                 - mp["xyLzm"] * ey_b[:, ymC, zmN]) * pihzm
+              + mp["xyRzm"] * ez_b[:, ypN, zmC] * pihyp
+              + mp["xyLzm"] * ez_b[:, ymN, zmC] * pihym)
+
+        r4 = (sz_b[:, ycN, zpC]
+              + (mp["yxLzp"] * ex[:, ycN, zpN]
+                 - mp["yxRzp"] * ex_b[:, ycN, zpN]
+                 + mp["xyLzp"] * ey_b[:, ymC, zpN]
+                 - mp["xyRzp"] * ey_b[:, ypC, zpN]) * pihzp
+              + mp["xyRzp"] * ez_b[:, ypN, zpC] * pihyp
+              + mp["xyLzp"] * ez_b[:, ymN, zpC] * pihym)
+
+        blk_p = mp["zyRxm"].shape
+        rhs = jnp.stack([jnp.broadcast_to(r0, blk_p),
+                         jnp.broadcast_to(r1, blk_p),
+                         jnp.broadcast_to(r2, blk_p),
+                         jnp.broadcast_to(r3, blk_p),
+                         jnp.broadcast_to(r4, blk_p)], axis=-1)
+        # Last group: only the ex entry (core.py:1467-1470).
+        rhs = rhs.at[-1, :, :, 1:].set(0.0)
+
+        u = _block_thomas(mid_p, left_p, rhs)
+
+        ex = ex.at[:, ycN, zcN].set(u[..., 0])
+        ey = ey.at[1:nx, ymC, zcN].set(u[:-1, ..., 1])
+        ey = ey.at[1:nx, ypC, zcN].set(u[:-1, ..., 2])
+        ez = ez.at[1:nx, ycN, zmC].set(u[:-1, ..., 3])
+        ez = ez.at[1:nx, ycN, zpC].set(u[:-1, ..., 4])
+        return ex, ey, ez
+
+    colors = [(py, pz) for pz, py in itertools.product((0, 1), repeat=2)
+              if py < ny - 1 and pz < nz - 1]
+
+    fields = (ex, ey, ez)
+    for sweep in range(nu):
+        order = colors if sweep % 2 == 0 else colors[::-1]
+        for c in order:
+            fields = phase(fields, *c)
+    return fields
+
+
+def _block_thomas(mid, left, rhs):
+    """Solve batched block-tridiagonal systems (5x5 blocks) for all lines.
+
+    Forward: C_g = M_g - L_g C_{g-1}^{-1} L_g^T; backward with the
+    super-diagonal blocks L_{g+1}^T.  Batched over the line dimensions.
+    TODO(perf): replace with block parallel cyclic reduction to cut the
+    sequential depth from nx to log2(nx).
+    """
+    def fwd(carry, inp):
+        c_prev, y_prev = carry
+        m_g, l_g, r_g = inp
+        # X = C_{g-1}^{-1} [L_g^T | y_{g-1}]
+        rhs_cat = jnp.concatenate(
+            [jnp.swapaxes(l_g, -1, -2), y_prev[..., None]], axis=-1)
+        x = _solve5(c_prev, rhs_cat)
+        ct = m_g - jnp.einsum("...ij,...jk->...ik", l_g, x[..., :5])
+        y = r_g - jnp.einsum("...ij,...j->...i", l_g, x[..., 5])
+        return (ct, y), (ct, y)
+
+    (c0, y0) = (mid[0], rhs[0])
+    (_, _), (cts, ys) = jax.lax.scan(
+        fwd, (c0, y0), (mid[1:], left[1:], rhs[1:]))
+    cts = jnp.concatenate([c0[None], cts], axis=0)
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+
+    def bwd(u_next, inp):
+        ct, y, l_next = inp
+        r = y - jnp.einsum("...ji,...j->...i", l_next, u_next)
+        u = _solve5(ct, r[..., None])[..., 0]
+        return u, u
+
+    u_last = _solve5(cts[-1], ys[-1][..., None])[..., 0]
+    _, us = jax.lax.scan(
+        bwd, u_last, (cts[:-1], ys[:-1], left[1:]), reverse=True)
+    return jnp.concatenate([us, u_last[None]], axis=0)
+
+
+def gauss_seidel_line(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+                      hx, hy, hz, nu, axis):
+    """Line relaxation along ``axis`` (0, 1, or 2).
+
+    The y-/z-variants are the x-variant applied in a permuted frame: the
+    discrete curl-curl operator is covariant under coordinate permutation
+    (replaces the reference's hand-written gauss_seidel_y/gauss_seidel_z,
+    core.py:786-1348).
+    """
+    if axis == 0:
+        return _line_relax_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
+                             zeta, hx, hy, hz, nu)
+
+    if axis == 1:
+        tp = (1, 0, 2)
+        out = _line_relax_x(
+            ey.transpose(tp), ex.transpose(tp), ez.transpose(tp),
+            sy.transpose(tp), sx.transpose(tp), sz.transpose(tp),
+            eta_y.transpose(tp), eta_x.transpose(tp), eta_z.transpose(tp),
+            zeta.transpose(tp), hy, hx, hz, nu)
+        ey2, ex2, ez2 = out
+        return ex2.transpose(tp), ey2.transpose(tp), ez2.transpose(tp)
+
+    if axis == 2:
+        tp = (2, 1, 0)
+        out = _line_relax_x(
+            ez.transpose(tp), ey.transpose(tp), ex.transpose(tp),
+            sz.transpose(tp), sy.transpose(tp), sx.transpose(tp),
+            eta_z.transpose(tp), eta_y.transpose(tp), eta_x.transpose(tp),
+            zeta.transpose(tp), hz, hy, hx, nu)
+        ez2, ey2, ex2 = out
+        return ex2.transpose(tp), ey2.transpose(tp), ez2.transpose(tp)
+
+    raise ValueError(f"axis must be 0, 1, or 2; got {axis}.")
