@@ -168,3 +168,115 @@ def interior_mask(grid):
     my[1:-1, :, 1:-1] = True
     mz[1:-1, 1:-1, :] = True
     return np.concatenate([mx.ravel(), my.ravel(), mz.ravel()])
+
+
+def alt_restrict(rx, ry, rz, grid, cgrid, wx, wy, wz):
+    """Scalar-loop residual restriction, straight from Muld06 Eq. 8.
+
+    Coarse x-edge (K+1/2, L, M) = sum_{jy,jz in {-1,0,1}} wy[L,jy] wz[M,jz]
+    (rx[2K, 2L+jy, 2M+jz] + rx[2K+1, ...]), indices clamped at boundaries.
+    Full coarsening only (oracle for the semicoarsening variants is the
+    same code with the per-axis steps switched off).
+    """
+    def w3(w, i):
+        wl, w0, wr = w
+        return {-1: wl[i], 0: w0[i], 1: wr[i]}
+
+    def clamp(i, n):
+        return min(max(i, 0), n - 1)
+
+    cshapes = [cgrid.shape_edges_x, cgrid.shape_edges_y, cgrid.shape_edges_z]
+    crx = np.zeros(cshapes[0], dtype=rx.dtype)
+    cry = np.zeros(cshapes[1], dtype=ry.dtype)
+    crz = np.zeros(cshapes[2], dtype=rz.dtype)
+
+    nny, nnz = rx.shape[1], rx.shape[2]
+    nnx = ry.shape[0]
+
+    for K in range(cshapes[0][0]):
+        for L in range(cshapes[0][1]):
+            for M in range(cshapes[0][2]):
+                acc = 0.0
+                for jy in (-1, 0, 1):
+                    for jz in (-1, 0, 1):
+                        iy = clamp(2 * L + jy, nny)
+                        iz = clamp(2 * M + jz, nnz)
+                        acc += (w3(wy, L)[jy] * w3(wz, M)[jz]
+                                * (rx[2 * K, iy, iz] + rx[2 * K + 1, iy, iz]))
+                crx[K, L, M] = acc
+
+    for K in range(cshapes[1][0]):
+        for L in range(cshapes[1][1]):
+            for M in range(cshapes[1][2]):
+                acc = 0.0
+                for jx in (-1, 0, 1):
+                    for jz in (-1, 0, 1):
+                        ix = clamp(2 * K + jx, nnx)
+                        iz = clamp(2 * M + jz, nnz)
+                        acc += (w3(wx, K)[jx] * w3(wz, M)[jz]
+                                * (ry[ix, 2 * L, iz] + ry[ix, 2 * L + 1, iz]))
+                cry[K, L, M] = acc
+
+    for K in range(cshapes[2][0]):
+        for L in range(cshapes[2][1]):
+            for M in range(cshapes[2][2]):
+                acc = 0.0
+                for jx in (-1, 0, 1):
+                    for jy in (-1, 0, 1):
+                        ix = clamp(2 * K + jx, nnx)
+                        iy = clamp(2 * L + jy, nny)
+                        acc += (w3(wx, K)[jx] * w3(wy, L)[jy]
+                                * (rz[ix, iy, 2 * M] + rz[ix, iy, 2 * M + 1]))
+                crz[K, L, M] = acc
+
+    return crx, cry, crz
+
+
+def alt_prolong(grid, cgrid, cex, cey, cez):
+    """Slice-wise scipy bilinear prolongation (reference solver.py:947-1019).
+
+    Bilinear in the transverse node planes, piecewise constant along the
+    field direction, interior-only add (PEC preserved).
+    """
+    from scipy.interpolate import RegularGridInterpolator as RGI
+
+    ex = np.zeros(grid.shape_edges_x, dtype=cex.dtype)
+    ey = np.zeros(grid.shape_edges_y, dtype=cey.dtype)
+    ez = np.zeros(grid.shape_edges_z, dtype=cez.dtype)
+
+    yy, zz = np.meshgrid(grid.nodes_y, grid.nodes_z, indexing="ij")
+    pts = np.stack([yy.ravel(), zz.ravel()], axis=1)
+    for ixc in range(cgrid.shape_cells[0]):
+        fn = RGI((cgrid.nodes_y, cgrid.nodes_z), cex[ixc], method="linear")
+        hh = fn(pts).reshape(len(grid.nodes_y), len(grid.nodes_z))
+        ex[2 * ixc, 1:-1, 1:-1] += hh[1:-1, 1:-1]
+        ex[2 * ixc + 1, 1:-1, 1:-1] += hh[1:-1, 1:-1]
+
+    xx, zz = np.meshgrid(grid.nodes_x, grid.nodes_z, indexing="ij")
+    pts = np.stack([xx.ravel(), zz.ravel()], axis=1)
+    for iyc in range(cgrid.shape_cells[1]):
+        fn = RGI((cgrid.nodes_x, cgrid.nodes_z), cey[:, iyc, :],
+                 method="linear")
+        hh = fn(pts).reshape(len(grid.nodes_x), len(grid.nodes_z))
+        ey[1:-1, 2 * iyc, 1:-1] += hh[1:-1, 1:-1]
+        ey[1:-1, 2 * iyc + 1, 1:-1] += hh[1:-1, 1:-1]
+
+    xx, yy = np.meshgrid(grid.nodes_x, grid.nodes_y, indexing="ij")
+    pts = np.stack([xx.ravel(), yy.ravel()], axis=1)
+    for izc in range(cgrid.shape_cells[2]):
+        fn = RGI((cgrid.nodes_x, cgrid.nodes_y), cez[:, :, izc],
+                 method="linear")
+        hh = fn(pts).reshape(len(grid.nodes_x), len(grid.nodes_y))
+        ez[1:-1, 1:-1, 2 * izc] += hh[1:-1, 1:-1]
+        ez[1:-1, 1:-1, 2 * izc + 1] += hh[1:-1, 1:-1]
+
+    return ex, ey, ez
+
+
+def field_to_cvec(field):
+    """Field (Fortran-ordered 1-D storage) -> C-ordered [ex, ey, ez] vector
+    matching the dense_matrix / interior_mask convention."""
+    return np.concatenate([
+        np.ascontiguousarray(field.fx).ravel(),
+        np.ascontiguousarray(field.fy).ravel(),
+        np.ascontiguousarray(field.fz).ravel()])

@@ -1,0 +1,147 @@
+"""Solver-level tests: multigrid + BiCGSTAB convergence and correctness.
+
+Convergence-rate parity with the reference is asserted in
+cycles-to-tolerance (the multicolor smoothers change the iterates, not
+the physics); correctness is asserted against dense direct solves of the
+(oracle-tested) operator.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import alternatives
+from emg3d_tpu import fields, meshes, models, solver
+
+
+def fullspace_setup(n=16, case="iso", frequency=1.0):
+    grid = meshes.TensorMesh([np.ones(n) * 50.0] * 3,
+                             origin=[-n * 25.0] * 3)
+    kw = {"property_x": 1.0}
+    if case == "vti":
+        kw["property_z"] = 3.0
+    if case == "tri":
+        kw.update(property_y=2.0, property_z=3.0)
+    model = models.Model(grid, **kw)
+    sfield = fields.get_source_field(grid, (0, 0, 0, 0, 0), frequency)
+    return grid, model, sfield
+
+
+def test_fcycle_converges_fullspace():
+    _, model, sfield = fullspace_setup(16)
+    efield, info = solver.solve(model, sfield, plain=True, verb=-1,
+                                return_info=True, tol=1e-6)
+    assert info["exit_message"] == "CONVERGED"
+    # Reference converges this class of problem in <= 10 F-cycles.
+    assert info["it_mg"] <= 10
+    assert info["rel_error"] < 1e-6
+
+
+def test_solution_matches_dense_solve():
+    grid, model, sfield = fullspace_setup(8)
+    efield = solver.solve(model, sfield, plain=True, verb=-1, tol=1e-10)
+
+    vmodel = models.VolumeModel(model, sfield)
+    A = alternatives.dense_matrix(grid, vmodel)
+    mask = alternatives.interior_mask(grid)
+    b = alternatives.field_to_cvec(sfield)
+    e = alternatives.field_to_cvec(efield)
+    x = np.zeros_like(b)
+    x[mask] = np.linalg.solve(A[np.ix_(mask, mask)], b[mask])
+
+    err = np.linalg.norm(e[mask] - x[mask]) / np.linalg.norm(x[mask])
+    assert err < 1e-5
+
+
+def test_bicgstab_vti():
+    _, model, sfield = fullspace_setup(8, case="vti")
+    efield, info = solver.solve(model, sfield, verb=-1, return_info=True)
+    assert info["exit_message"] == "CONVERGED"
+    assert info["rel_error"] < 1e-6
+
+
+def test_sc_lr_stretched_grid():
+    rng = np.random.default_rng(4)
+    h = [50 * 1.1 ** np.arange(8), np.ones(8) * 50, 40 * (1 + rng.random(8))]
+    grid = meshes.TensorMesh(h, origin=[-0.5 * np.sum(x) for x in h])
+    model = models.Model(grid, property_x=1 + 9 * rng.random((8, 8, 8)))
+    sfield = fields.get_source_field(grid, (0, 0, 0, 15, 40), 2.0)
+
+    efield, info = solver.solve(
+        model, sfield, sslsolver=False, semicoarsening=True,
+        linerelaxation=True, verb=-1, return_info=True, maxit=30)
+    assert info["exit_message"] == "CONVERGED"
+
+
+def test_laplace_domain():
+    """Negative frequency = Laplace domain: real-valued solve."""
+    _, model, sfield = fullspace_setup(8, frequency=-2.0)
+    assert sfield.field.dtype == np.float64
+    efield, info = solver.solve(model, sfield, plain=True, verb=-1,
+                                return_info=True)
+    assert info["exit_message"] == "CONVERGED"
+    assert efield.field.dtype == np.float64
+    assert np.isfinite(efield.field).all()
+
+
+@pytest.mark.parametrize("cycle", ["V", "W"])
+def test_other_cycles(cycle):
+    _, model, sfield = fullspace_setup(8)
+    efield, info = solver.solve(model, sfield, sslsolver=False,
+                                semicoarsening=False, linerelaxation=False,
+                                cycle=cycle, verb=-1, return_info=True)
+    assert info["exit_message"] == "CONVERGED"
+
+
+def test_maxit_not_converged():
+    _, model, sfield = fullspace_setup(8)
+    efield, info = solver.solve(model, sfield, plain=True, maxit=1,
+                                verb=-1, return_info=True, tol=1e-12)
+    assert "MAX. ITERATION" in info["exit_message"]
+    assert info["exit"] == 1
+
+
+def test_info_dict_contents():
+    _, model, sfield = fullspace_setup(8)
+    info = solver.solve(model, sfield, plain=True, verb=-1,
+                        return_info=True, efield=fields.Field(
+                            model.grid, frequency=sfield._frequency))
+    for key in ["exit", "exit_message", "abs_error", "rel_error",
+                "ref_error", "tol", "it_mg", "it_ssl", "time",
+                "runtime_at_cycle", "error_at_cycle", "log"]:
+        assert key in info
+    assert len(info["error_at_cycle"]) == info["it_mg"] + 1
+
+
+def test_solve_source_shortcut():
+    grid, model, _ = fullspace_setup(8)
+    e1, info = solver.solve_source(model, (0, 0, 0, 0, 0), 1.0, plain=True,
+                                   verb=-1, return_info=True)
+    sfield = fields.get_source_field(grid, (0, 0, 0, 0, 0), 1.0)
+    e2 = solver.solve(model, sfield, plain=True, verb=-1)
+    assert_allclose(e1.field, e2.field)
+
+
+def test_dtype_mismatch_raises():
+    grid, model, sfield = fullspace_setup(8)
+    efield = fields.Field(grid, frequency=-1.0)  # real Laplace field
+    with pytest.raises(ValueError, match="same dtype"):
+        solver.solve(model, sfield, efield=efield)
+
+
+def test_mgparameters_validation():
+    with pytest.raises(ValueError, match="cycle"):
+        solver.MGParameters(verb=0, sslsolver=False, semicoarsening=0,
+                            linerelaxation=0, shape_cells=(8, 8, 8),
+                            cycle="X")
+    with pytest.raises(ValueError, match="sslsolver"):
+        solver.MGParameters(verb=0, sslsolver="bad", semicoarsening=0,
+                            linerelaxation=0, shape_cells=(8, 8, 8))
+    with pytest.raises(ValueError, match="least"):
+        solver.MGParameters(verb=0, sslsolver=False, semicoarsening=0,
+                            linerelaxation=0, shape_cells=(8, 8, 8),
+                            cycle=None)
+    # Multi-digit cycling strings.
+    var = solver.MGParameters(verb=0, sslsolver=False, semicoarsening=123,
+                              linerelaxation=456, shape_cells=(8, 8, 8))
+    assert var.sc_cycle and var.lr_cycle
