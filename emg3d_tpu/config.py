@@ -36,20 +36,24 @@ def complex_dtype():
 
 
 def solve_dtype(frequency):
-    """Field dtype given the frequency convention of the reference.
+    """HOST Field dtype given the frequency convention of the reference.
 
     - ``frequency > 0``: frequency domain, s = i*2*pi*f -> complex dtype;
     - ``frequency < 0``: Laplace domain, s = -frequency (real) -> real dtype;
     - ``frequency is None``: frequency-independent source vector -> real.
 
-    Mirrors emg3d/fields.py:93-102.
+    Mirrors emg3d/fields.py:93-102.  Host-side containers (Field, Model)
+    are ALWAYS float64/complex128 for I/O parity with the reference and
+    so that the split-precision device solve can be exported without
+    losing its achieved accuracy; only device arrays carry the working
+    precision (:func:`float_dtype`/:func:`complex_dtype`).
     """
     if frequency is None:
-        return float_dtype()
+        return np.float64
     if frequency > 0:
-        return complex_dtype()
+        return np.complex128
     if frequency < 0:
-        return float_dtype()
+        return np.float64
     raise ValueError(
         "`frequency` must be f>0 (frequency domain) or f<0 (Laplace domain). "
         f"Provided: {frequency} Hz."

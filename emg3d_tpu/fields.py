@@ -52,7 +52,7 @@ class Field:
         elif data is not None:
             dtype = np.asarray(data).dtype
         elif dtype is None:
-            dtype = config.complex_dtype()
+            dtype = np.complex128
 
         self.grid = grid
         self._frequency = frequency

@@ -30,7 +30,7 @@ import numpy as np
 import scipy as sp
 
 from emg3d_tpu import config, fields, meshes, models, utils
-from emg3d_tpu.ops import operator, smoothers, transfer
+from emg3d_tpu.ops import df64, operator, smoothers, transfer
 
 __all__ = ['solve', 'solve_source', 'multigrid', 'krylov', 'smoothing',
            'restriction', 'prolongation', 'residual', 'MGParameters',
@@ -299,6 +299,23 @@ def _build_hierarchy(vmodel, sc_dir, lr_dir, clevel_max):
             'hy': jnp.asarray(h[1], dtype=fdt),
             'hz': jnp.asarray(h[2], dtype=fdt),
         }
+        if level == 0 and np.dtype(fdt) == np.float32:
+            # df64 coefficient lo-parts for the double-single residual
+            # evaluation (ops.df64): the float64 host values split into
+            # (hi, lo) float32 pairs; the system solved is then the f64
+            # discretization, not its f32 rounding.
+            for name, val in (('eta_x', eta_x), ('eta_y', eta_y),
+                              ('eta_z', eta_z), ('zeta', zeta)):
+                hi, lo = df64.split_f64(np.asarray(val, dtype=np.complex128
+                                        if np.iscomplexobj(val)
+                                        else np.float64), fdt)
+                lvl_arrays[name + '_lo'] = jnp.asarray(lo)
+            for name, hh in (('ihx', h[0]), ('ihy', h[1]), ('ihz', h[2])):
+                hi, lo = df64.split_f64(1.0 / np.asarray(hh,
+                                                         dtype=np.float64),
+                                        fdt)
+                lvl_arrays[name] = jnp.asarray(hi)
+                lvl_arrays[name + '_lo'] = jnp.asarray(lo)
         lvl_meta = {
             'shape': tuple(shape),
             'c_lr_dir': _current_lr_dir(lr_dir, shape),
@@ -397,6 +414,46 @@ def _smooth_jit(e, s, arrs, c_lr_dir, nu):
     return _smooth_dev(e, s, arrs, c_lr_dir, nu)
 
 
+@jax.jit
+def _residual_norm_split_jit(e_hi, e_lo, s, arrs):
+    """Residual r = s - A (e_hi + e_lo) and its norm, for a split field.
+
+    The solution is accumulated as an unevaluated sum e_hi + e_lo (see
+    :func:`_accumulate_jit`).  In float32 working precision the residual
+    is evaluated in double-single arithmetic (ops.df64) — a plain f32
+    evaluation floors the solve at ~4e-6 relative residual; in float64
+    mode A's linearity is used to avoid forming the sum.
+    """
+    if e_hi[0].dtype in (jnp.complex64, jnp.float32):
+        return df64.residual_norm_split_df64(e_hi, e_lo, s, arrs)
+
+    a_hi = _residual_dev(e_hi, s, arrs)          # s - A e_hi
+    a_lo = operator.amat_x(
+        *e_lo, arrs['eta_x'], arrs['eta_y'], arrs['eta_z'], arrs['zeta'],
+        arrs['hx'], arrs['hy'], arrs['hz'])      # A e_lo
+    r = tuple(h - l for h, l in zip(a_hi, a_lo))
+    return r, operator.residual_norm(*r)
+
+
+@jax.jit
+def _accumulate_jit(e_hi, e_lo, de):
+    """(e_hi, e_lo) += de with an error-free fast-two-sum per element.
+
+    Keeps the multigrid corrections from rounding away once they are
+    ~eps-relative to the field — the mechanism that otherwise floors a
+    float32 solve at ~1e-5 relative residual.  In float64 mode the same
+    code simply extends the effective accumulation precision.
+    """
+    def f2s(hi, lo, d):
+        t = lo + d
+        hi2 = hi + t
+        lo2 = t - (hi2 - hi)
+        return hi2, lo2
+
+    out = [f2s(h, l, d) for h, l, d in zip(e_hi, e_lo, de)]
+    return tuple(o[0] for o in out), tuple(o[1] for o in out)
+
+
 @functools.partial(jax.jit, static_argnames=('coarsen',))
 def _restrict_jit(e, s, arrs, coarsen):
     """Fused residual + restriction -> coarse source."""
@@ -414,13 +471,18 @@ def _resnorm_jit(e, s, arrs):
     return operator.residual_norm(*_residual_dev(e, s, arrs))
 
 
-def _run_cycle(meta, arrays, s, e, var, first):
-    """One full multigrid cycle at level 0 (host-driven recursion).
+def _cycle_correction(meta, arrays, r, var, first, smooth=_smooth_jit,
+                      restrict=_restrict_jit, prolong=_prolong_jit):
+    """One multigrid cycle applied to residual ``r`` from a zero guess.
 
-    Mirrors reference solver.py:471-649 including the F-cycle's
-    decreasing-cycmax mechanics (solver.py:519-526) and the coarsest-grid
-    Gauss-Seidel direct-ish solve (solver.py:566-578).  Returns (e, l2)
-    with l2 a device scalar.
+    The multigrid cycle is a *linear* stationary iteration, so running it
+    on (A, r) from zero and adding the result to the iterate is
+    algebraically identical to the reference's in-place form
+    (solver.py:471-649) — but it lets the caller accumulate the
+    correction in split precision (see :func:`_accumulate_jit`).
+    Includes the F-cycle's decreasing-cycmax mechanics (reference
+    solver.py:519-526) and the coarsest-grid Gauss-Seidel direct-ish
+    solve (solver.py:566-578).  Returns the correction ``de``.
     """
     nlevels = len(meta)
     cycle = var.cycle
@@ -442,18 +504,18 @@ def _run_cycle(meta, arrays, s, e, var, first):
         while it < cycmax:
             if level == nlevels - 1:
                 # Coarsest grid: Gauss-Seidel as direct-ish solver.
-                e = _smooth_jit(e, s, arrs, c_lr_dir, var.nu_coarse)
+                e = smooth(e, s, arrs, c_lr_dir, var.nu_coarse)
             else:
                 if var.nu_pre > 0:
-                    e = _smooth_jit(e, s, arrs, c_lr_dir, var.nu_pre)
+                    e = smooth(e, s, arrs, c_lr_dir, var.nu_pre)
 
-                cs = _restrict_jit(e, s, arrs, coarsen)
+                cs = restrict(e, s, arrs, coarsen)
                 ce = tuple(jnp.zeros_like(c) for c in cs)
                 ce = recurse(cs, ce, level + 1, cycmax - cyc)
-                e = _prolong_jit(e, ce, arrs, coarsen)
+                e = prolong(e, ce, arrs, coarsen)
 
                 if var.nu_post > 0:
-                    e = _smooth_jit(e, s, arrs, c_lr_dir, var.nu_post)
+                    e = smooth(e, s, arrs, c_lr_dir, var.nu_post)
 
             it += 1
             cyc += 1
@@ -461,24 +523,24 @@ def _run_cycle(meta, arrays, s, e, var, first):
 
     shape, c_lr_dir, coarsen = meta[0]
     arrs = arrays[0]
+    de = tuple(jnp.zeros_like(c) for c in r)
 
     if first and var.nu_init > 0:
-        e = _smooth_jit(e, s, arrs, c_lr_dir, var.nu_init)
+        de = smooth(de, r, arrs, c_lr_dir, var.nu_init)
 
     if nlevels == 1:
-        e = _smooth_jit(e, s, arrs, c_lr_dir, var.nu_coarse)
+        de = smooth(de, r, arrs, c_lr_dir, var.nu_coarse)
     else:
         if var.nu_pre > 0:
-            e = _smooth_jit(e, s, arrs, c_lr_dir, var.nu_pre)
-        cs = _restrict_jit(e, s, arrs, coarsen)
+            de = smooth(de, r, arrs, c_lr_dir, var.nu_pre)
+        cs = restrict(de, r, arrs, coarsen)
         ce = tuple(jnp.zeros_like(c) for c in cs)
         ce = recurse(cs, ce, 1, cycmax0)
-        e = _prolong_jit(e, ce, arrs, coarsen)
+        de = prolong(de, ce, arrs, coarsen)
         if var.nu_post > 0:
-            e = _smooth_jit(e, s, arrs, c_lr_dir, var.nu_post)
+            de = smooth(de, r, arrs, c_lr_dir, var.nu_post)
 
-    l2 = _resnorm_jit(e, s, arrs)
-    return e, l2
+    return de
 
 
 class _Hierarchies:
@@ -522,11 +584,14 @@ def multigrid(model, sfield, efield, var, **kwargs):
     as_field = hasattr(sfield, 'field')
     if as_field:
         s = _field_to_dev(sfield)
-        e = _field_to_dev(efield)
+        e_hi = _field_to_dev(efield)
     else:
-        s, e = sfield, efield
+        s, e_hi = sfield, efield
+    e_lo = tuple(jnp.zeros_like(c) for c in e_hi)
 
-    l2_last = var.l2_refe if var.it == 0 else var.l2
+    meta, arrays = hier.get(var.sc_dir, var.lr_dir)
+    r, l2_dev = _residual_norm_split_jit(e_hi, e_lo, s, arrays[0])
+    l2_last = float(l2_dev)
     l2_stag = np.ones(var.maxcycle) * l2_last
 
     it = 0
@@ -535,13 +600,22 @@ def multigrid(model, sfield, efield, var, **kwargs):
         l2_prev = l2_last
         l2_stag[(it - 1) % var.maxcycle] = l2_last
 
-        meta, arrays = hier.get(var.sc_dir, var.lr_dir)
-        e, l2_dev = _run_cycle(meta, arrays, s, e, var, first)
+        de = _cycle_correction(meta, arrays, r, var, first)
         first = False
-        l2_last = float(l2_dev)
+        e_hi, e_lo = _accumulate_jit(e_hi, e_lo, de)
 
         it += 1
         var.it += 1
+
+        # Cycle semicoarsening and line-relaxation directions.
+        if var.sc_cycle:
+            var.sc_dir = next(var.sc_cycle)
+        if var.lr_cycle:
+            var.lr_dir = next(var.lr_cycle)
+        meta, arrays = hier.get(var.sc_dir, var.lr_dir)
+
+        r, l2_dev = _residual_norm_split_jit(e_hi, e_lo, s, arrays[0])
+        l2_last = float(l2_dev)
 
         var.runtime_at_cycle = np.r_[var.runtime_at_cycle, var.time.elapsed]
         var.error_at_cycle = np.r_[var.error_at_cycle, l2_last]
@@ -553,23 +627,26 @@ def multigrid(model, sfield, efield, var, **kwargs):
                 f"[{l2_last:.3e}, {l2_last/max(l2_prev, 1e-300):.3f}]"
                 f"   {var.lr_dir} {var.sc_dir}", 3)
 
-        # Cycle semicoarsening and line-relaxation directions.
-        if var.sc_cycle:
-            var.sc_dir = next(var.sc_cycle)
-        if var.lr_cycle:
-            var.lr_dir = next(var.lr_cycle)
-
         if _terminate(var, l2_last, l2_stag[(it - 1) % var.maxcycle], it):
             break
 
     var.l2 = l2_last
 
     if as_field:
-        out = _dev_to_field(e, efield.grid, efield._frequency,
-                            efield.field.dtype)
+        # Combine the split field on the host in the Field's (float64)
+        # dtype so the achieved algebraic accuracy survives the export.
+        dtype = efield.field.dtype
+        out = fields.Field(efield.grid, dtype=dtype,
+                           frequency=efield._frequency)
+        out.fx = (np.asarray(e_hi[0], dtype=dtype)
+                  + np.asarray(e_lo[0], dtype=dtype))
+        out.fy = (np.asarray(e_hi[1], dtype=dtype)
+                  + np.asarray(e_lo[1], dtype=dtype))
+        out.fz = (np.asarray(e_hi[2], dtype=dtype)
+                  + np.asarray(e_lo[2], dtype=dtype))
         efield.field = out.field
     else:
-        return e
+        return tuple(h + l for h, l in zip(e_hi, e_lo))
 
 
 def _terminate(var, l2_last, l2_stag, it):
@@ -623,24 +700,24 @@ def krylov(model, sfield, efield, var):
             mdev['hx'], mdev['hy'], mdev['hz'])
 
     def mg_precond_dev(s):
-        """Apply up-to-maxcycle MG cycles to s, starting from zero."""
-        e = tuple(jnp.zeros_like(c) for c in s)
-        inner = MGParametersView(var)
-        try:
-            e = multigrid_dev(e, s, inner, hier)
-        except _ConvergenceError:
-            raise
-        return e
+        """Apply up-to-maxcycle MG cycles to s, starting from zero.
 
-    def multigrid_dev(e, s, inner, hier):
+        Mirrors the reference's use of multigrid as the preconditioner
+        (solver.py:710-728) incl. divergence/stagnation abort of the
+        outer Krylov solver via _ConvergenceError.
+        """
+        e_hi = tuple(jnp.zeros_like(c) for c in s)
+        e_lo = e_hi
         l2_stag = np.ones(var.maxcycle) * np.inf
         it = 0
         first = True
+        r = s
+        l2_refe = None
         while True:
             meta, arrays = hier.get(var.sc_dir, var.lr_dir)
-            e, l2_dev = _run_cycle(meta, arrays, s, e, var, first)
+            de = _cycle_correction(meta, arrays, r, var, first)
             first = False
-            l2_last = float(l2_dev)
+            e_hi, e_lo = _accumulate_jit(e_hi, e_lo, de)
             it += 1
             var.it += 1
 
@@ -648,20 +725,27 @@ def krylov(model, sfield, efield, var):
                 var.sc_dir = next(var.sc_cycle)
             if var.lr_cycle:
                 var.lr_dir = next(var.lr_cycle)
+            meta, arrays = hier.get(var.sc_dir, var.lr_dir)
+
+            if it == var.maxit:
+                break
+
+            r, l2_dev = _residual_norm_split_jit(e_hi, e_lo, s, arrays[0])
+            l2_last = float(l2_dev)
+            if l2_refe is None:
+                l2_refe = max(l2_last, 1e-300)
 
             # Inner termination (maxit = maxcycle when preconditioning).
             if l2_last < var.tol * var.l2_refe:
                 break
-            if l2_last > 10 * var.l2_refe or not np.isfinite(l2_last):
+            if l2_last > 10 * l2_refe or not np.isfinite(l2_last):
                 var.exit_message = "DIVERGED"
                 raise _ConvergenceError
             if it > 2 and l2_last >= l2_stag[(it - 1) % var.maxcycle]:
                 var.exit_message = "STAGNATED"
                 raise _ConvergenceError
-            if it == var.maxit:
-                break
             l2_stag[(it - 1) % var.maxcycle] = l2_last
-        return e
+        return tuple(h + l for h, l in zip(e_hi, e_lo))
 
     def callback():
         var.ssl_it += 1
@@ -816,13 +900,6 @@ def _bicgstab(amatvec, precond, b, x0, var, callback):
             return x, -13
 
     return x, var.ssl_maxit
-
-
-class MGParametersView:
-    """Lightweight view used by the preconditioner path."""
-
-    def __init__(self, var):
-        self.var = var
 
 
 # ==========================================================================
