@@ -1,0 +1,78 @@
+"""Headline benchmark: fullspace F-cycle solve to 1e-6, cells/second.
+
+The reference's published recipe (BASELINE.md; docs/dev/tests.rst:185-250):
+homogeneous 1 Ωm fullspace, x-directed dipole at origin, 1 Hz, 50 m cubic
+cells, plain stand-alone F-cycles, tol 1e-6.  Reference: 128³ ≈ 2.1 M cells
+in ≈ 90 s single-thread CPU (≈ 23 k cells/s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Working precision: float32 + df64 residual path (TPU-native); tests use
+# x64 but the benchmark runs the production configuration.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+N = int(os.environ.get("BENCH_N", "128"))
+REF_SECONDS = {32: 1.3, 48: 4.0, 64: 10.5, 96: 37.0, 128: 90.0,
+               192: 320.0, 256: 780.0, 384: 2700.0}
+
+
+def make_problem(n):
+    from emg3d_tpu import fields, meshes, models
+
+    h = np.full(n, 50.0)
+    grid = meshes.TensorMesh([h, h, h], origin=(-n * 25.0,) * 3)
+    model = models.Model(grid, property_x=1.0)
+    sfield = fields.get_source_field(
+        grid, source=(0., 0., 0., 0., 0.), frequency=1.0)
+    return model, sfield
+
+
+def run(model, sfield):
+    from emg3d_tpu import solver
+
+    efield, info = solver.solve(
+        model, sfield, plain=True, cycle='F', tol=1e-6, maxit=50,
+        return_info=True, verb=0)
+    return info
+
+
+def main():
+    model, sfield = make_problem(N)
+
+    # Warm-up: compile all level kernels (cached for the timed run).
+    info = run(model, sfield)
+    if info["exit"] != 0:
+        print(json.dumps({"metric": f"fullspace_{N}c_to_1e-6",
+                          "value": -1.0, "unit": "s",
+                          "vs_baseline": 0.0,
+                          "error": info["exit_message"]}))
+        return 1
+
+    t0 = time.perf_counter()
+    info = run(model, sfield)
+    dt = time.perf_counter() - t0
+
+    ref = REF_SECONDS.get(N)
+    out = {
+        "metric": f"fullspace_{N}c_solve_to_1e-6",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(ref / dt, 2) if ref else None,
+        "cells_per_s": round(N ** 3 / dt),
+        "it_mg": info["it_mg"],
+        "rel_error": float(info["rel_error"]),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
