@@ -100,9 +100,12 @@ class Field:
     def from_dict(cls, inp):
         """Re-create a Field from a dict as given by ``to_dict``."""
         inp = {k: v for k, v in inp.items() if k != "__class__"}
-        grid_dict = inp.pop("grid")
-        MeshClass = getattr(meshes, grid_dict.get("__class__", "TensorMesh"))
-        return cls(grid=MeshClass.from_dict(grid_dict), **inp)
+        grid = inp.pop("grid")
+        if isinstance(grid, dict):  # io may have deserialized it already.
+            MeshClass = getattr(
+                meshes, grid.get("__class__", "TensorMesh"))
+            grid = MeshClass.from_dict(grid)
+        return cls(grid=grid, **inp)
 
     # Data access -------------------------------------------------------------
 

@@ -21,7 +21,8 @@ __all__ = [
     "BaseMap", "MapConductivity", "MapLgConductivity", "MapLnConductivity",
     "MapResistivity", "MapLgResistivity", "MapLnResistivity", "interpolate",
     "interp_spline_3d", "interp_volume_average",
-    "interp_edges_to_vol_averages", "ellipse_indices", "register_map",
+    "interp_edges_to_vol_averages", "interp_volume_average_adj",
+    "edge_product_deriv_times_vector", "ellipse_indices", "register_map",
 ]
 
 
@@ -359,6 +360,82 @@ def interp_edges_to_vol_averages(ex, ey, ez, volumes, ox, oy, oz):
                      + ey[:-1, :, 1:] + ey[1:, :, 1:]) / 4
     oz += volumes * (ez[:-1, :-1, :] + ez[1:, :-1, :]
                      + ez[:-1, 1:, :] + ez[1:, 1:, :]) / 4
+
+
+def interp_volume_average_adj(oval, ogrid, nval, ngrid):
+    """In-place adjoint of conservative volume averaging.
+
+    The reference delegates to discretize (emg3d/maps.py:723-756); here
+    the adjoint is assembled natively from the same merged-node weights
+    as the forward map: forward is ``new[o] = Σ_i w_io val[i] / V_n[o]``,
+    so the adjoint is ``oval[i] += Σ_o w_io nval[o] / V_n[o]``.
+
+    ``oval``/``nval`` have shape (3, \\*grid.shape_cells); used to bring
+    adjoint-state gradients from computational grids back to the
+    inversion grid (reference simulations.py:1064-1067).
+    """
+    wx, ixi, ixo = _volume_average_weights(ogrid.nodes_x, ngrid.nodes_x)
+    wy, iyi, iyo = _volume_average_weights(ogrid.nodes_y, ngrid.nodes_y)
+    wz, izi, izo = _volume_average_weights(ogrid.nodes_z, ngrid.nodes_z)
+
+    vol_n = ngrid.cell_volumes.reshape(ngrid.shape_cells, order="F")
+    for c in range(oval.shape[0]):
+        scaled = nval[c] / vol_n
+        contrib = (wx[:, None, None] * wy[None, :, None]
+                   * wz[None, None, :] * scaled[np.ix_(ixo, iyo, izo)])
+        np.add.at(oval[c], np.ix_(ixi, iyi, izi), contrib)
+    return oval
+
+
+def edge_product_deriv_times_vector(efield, cell_values):
+    """G·v: derivative of the system's σ-term times a model vector.
+
+    The reference computes this with discretize's
+    ``get_edge_inner_product_deriv`` (emg3d/simulations.py:1357-1360).
+    Natively: the σ-term couples each edge to the average of its (up to
+    four) adjacent cells' V·σ/4, so (∂S/∂σ · v)E at an edge is the edge
+    field times the 4-cell average of V·v — the exact adjoint of
+    :func:`interp_edges_to_vol_averages`.
+
+    Parameters
+    ----------
+    efield : Field
+        Electric (forward) field.
+    cell_values : ndarray or tuple of 3 ndarrays
+        V-weighted model vector per cell; a single array for isotropic,
+        or (vx, vy, vz) for anisotropic cases.
+
+    Returns
+    -------
+    data : ndarray
+        Edge-shaped 1-D array (Field-data layout) of G·v applied to E.
+    """
+    if not isinstance(cell_values, (tuple, list)):
+        cell_values = (cell_values,) * 3
+
+    grid = efield.grid
+    shape = grid.shape_cells
+    vol = grid.cell_volumes.reshape(shape, order="F")
+
+    def cells_to_edges(v, axis):
+        """Scatter cell values to the 4 parallel edges (1/4 each)."""
+        pads = [(0, 0), (0, 0), (0, 0)]
+        pads[(axis + 1) % 3] = (1, 1)
+        pads[(axis + 2) % 3] = (1, 1)
+        p = np.pad(v, pads)
+        if axis == 0:
+            return (p[:, :-1, :-1] + p[:, 1:, :-1]
+                    + p[:, :-1, 1:] + p[:, 1:, 1:]) / 4.0
+        if axis == 1:
+            return (p[:-1, :, :-1] + p[1:, :, :-1]
+                    + p[:-1, :, 1:] + p[1:, :, 1:]) / 4.0
+        return (p[:-1, :-1, :] + p[1:, :-1, :]
+                + p[:-1, 1:, :] + p[1:, 1:, :]) / 4.0
+
+    gx = efield.fx * cells_to_edges(vol * cell_values[0], 0)
+    gy = efield.fy * cells_to_edges(vol * cell_values[1], 1)
+    gz = efield.fz * cells_to_edges(vol * cell_values[2], 2)
+    return np.r_[gx.ravel('F'), gy.ravel('F'), gz.ravel('F')]
 
 
 def ellipse_indices(coo, p0, p1, radius, factor=1.0, minor=1.0,

@@ -1,14 +1,889 @@
-"""Simulation orchestration (placeholder — full implementation this round).
+"""Simulation: multi-source, multi-frequency surveys and their adjoints.
 
-Rebuild target: reference emg3d/simulations.py:42-1748, with shard_map over
-a (source, frequency) device axis replacing the process pool.
+API-parity rebuild of the reference's emg3d/simulations.py (each method
+cites its reference lines).  Differences by design:
+
+- Per-(source, frequency) tasks are device work, not host processes: the
+  reference's ProcessPoolExecutor fan-out (simulations.py:860-866) becomes
+  a host-driven loop over the jitted device solver (hierarchies/kernels
+  shared between tasks) via :mod:`emg3d_tpu.parallel.tasks`, or a batched
+  device-mesh-sharded solve (:mod:`emg3d_tpu.parallel.batch`) for
+  shared-grid surveys.
+- ``jvec``/the gradient's regridding adjoint do not need discretize: the
+  edge-inner-product derivative and the volume-average adjoint are
+  implemented natively (emg3d_tpu.maps).
 """
 
-__all__ = ["Simulation"]
+import itertools
+import os
+import warnings
+from copy import deepcopy
+from pathlib import Path
+
+import numpy as np
+
+from emg3d_tpu import fields, io, maps, meshes, models, utils
+from emg3d_tpu.parallel import tasks as _tasks
+
+__all__ = ['Simulation']
 
 
+def __dir__():
+    return __all__
+
+
+@utils._known_class
 class Simulation:
-    """Placeholder; full Simulation implementation in progress."""
+    """Forward modelling, misfit, and adjoint-state gradients of a survey.
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError("Simulation lands later this round.")
+    Mirrors the reference Simulation (emg3d/simulations.py:42-1748):
+    gridding modes 'same'/'single'/'frequency'/'source'/'both'/'input'/
+    'dict'; ``compute``/``misfit``/``gradient``/``jvec``/``jtvec``;
+    file-based computation via ``file_dir``; (de)serialization.
+
+    ``max_workers`` is kept for API parity; see
+    :mod:`emg3d_tpu.parallel.tasks` for the TPU execution model.
+    """
+
+    def __init__(self, survey, model, max_workers=4, gridding='single',
+                 **kwargs):
+        self.survey = survey
+        self.max_workers = max_workers
+        self.gridding = gridding
+        self.verb = kwargs.pop('verb', 0)
+        self.name = kwargs.pop('name', None)
+        self.info = kwargs.pop('info', None)
+        self.receiver_interpolation = kwargs.pop(
+            'receiver_interpolation', 'cubic')
+
+        # Solver options; tolerances kept separately
+        # (reference simulations.py:270-279).
+        self.solver_opts = {
+            'verb': 1,
+            'log': -1,
+            **kwargs.pop('solver_opts', {}),
+            'return_info': True,
+        }
+        self.tol_forward = self.solver_opts.get('tol', 1e-6)
+        self.tol_gradient = self.solver_opts.pop(
+            'tol_gradient', self.tol_forward)
+
+        self._dict_grid = self._dict_initiate
+        self._dict_efield = self._dict_initiate
+        self._dict_efield_info = self._dict_initiate
+        self._gradient = None
+        self._misfit = None
+        self._computed = False
+
+        self.file_dir = kwargs.pop('file_dir', None)
+        if self.file_dir:
+            self.file_dir = os.path.abspath(self.file_dir)
+            Path(self.file_dir).mkdir(exist_ok=True)
+
+        self._set_model(model, kwargs)
+        self._set_layered_opts(kwargs.pop('layered', False),
+                               kwargs.pop('layered_opts', {}))
+
+        if 'synthetic' not in self.survey.data.keys():
+            self.survey.data['synthetic'] = self.data.observed.copy(
+                data=np.full(self.survey.shape, np.nan + 1j * np.nan))
+
+        tqdm_opts = kwargs.pop('tqdm_opts', {})
+        if isinstance(tqdm_opts, bool):
+            tqdm_opts = {'disable': not tqdm_opts}
+        self._tqdm_opts = {
+            'bar_format': '{desc} {bar} {n_fmt}/{total_fmt}  [{elapsed}]',
+            **tqdm_opts,
+        }
+
+        if kwargs:
+            raise TypeError(f"Unexpected **kwargs: {list(kwargs.keys())}.")
+
+        if gridding == 'same':
+            meshes.check_mesh(self.model.grid)
+        elif gridding == 'input':
+            meshes.check_mesh(self._grid_single)
+
+    def __repr__(self):
+        name = f" «{self.name}»" if self.name else ""
+        info = f"{self.info}\n" if self.info else ""
+        survey = f" «{self.survey.name}»" if self.survey.name else ""
+        return (f":: {self.__class__.__name__}{name} ::\n{info}\n"
+                f"- {self.survey.__class__.__name__}{survey}: "
+                f"{self.survey.shape[0]} sources; "
+                f"{self.survey.shape[1]} receivers; "
+                f"{self.survey.shape[2]} frequencies\n"
+                f"- {self.model.__repr__()}\n"
+                f"- Gridding: {self._info_grids}")
+
+    # ----------------------------------------------------------------------
+    # (De-)serialization.
+    # ----------------------------------------------------------------------
+
+    def clean(self, what='computed'):
+        """Remove computed data ('computed', 'keepresults', or 'all').
+
+        Reference simulations.py:354-412.
+        """
+        if what not in ['computed', 'keepresults', 'all']:
+            raise TypeError(f"Unrecognized `what`: {what}.")
+
+        if what in ['keepresults', 'all']:
+            self._dict_grid = self._dict_initiate
+
+        if what in ['computed', 'keepresults', 'all']:
+            self._dict_efield = self._dict_initiate
+            self._dict_efield_info = self._dict_initiate
+            for name in ['_dict_bfield', '_dict_bfield_info']:
+                if hasattr(self, name):
+                    delattr(self, name)
+            if self.file_dir:
+                for p in Path(self.file_dir).glob('[ebg]field_*.h5'):
+                    p.unlink()
+
+        if what in ['computed', 'all']:
+            self._computed = False
+            for key in ['residual', 'weights']:
+                if key in self.data.keys():
+                    del self.data[key]
+            self.data['synthetic'] = self.data.observed.copy(
+                data=np.full(self.survey.shape, np.nan + 1j * np.nan))
+            self._gradient = None
+            self._misfit = None
+
+    def copy(self, what='computed'):
+        """Return a copy of the Simulation."""
+        return self.from_dict(self.to_dict(what, True))
+
+    def to_dict(self, what='computed', copy=False):
+        """Serialize to a dict; ``what`` ∈ {computed, results, all, plain}.
+
+        Reference simulations.py:422-484.
+        """
+        if hasattr(self, '_what_to_file'):
+            what = self._what_to_file
+            delattr(self, '_what_to_file')
+
+        if what not in ['computed', 'results', 'all', 'plain']:
+            raise TypeError(f"Unrecognized `what`: {what}.")
+
+        self.solver_opts['tol'] = self.tol_forward
+        out = {
+            '__class__': self.__class__.__name__,
+            'survey': self.survey.to_dict(),
+            'model': self.model.to_dict(),
+            'max_workers': self.max_workers,
+            'gridding': self.gridding,
+            'gridding_opts': self.gridding_opts,
+            'solver_opts': self.solver_opts,
+            'verb': self.verb,
+            'name': self.name,
+            'info': self.info,
+            'tqdm_opts': self._tqdm_opts,
+            'layered': self.layered,
+            'layered_opts': self.layered_opts,
+            'receiver_interpolation': self.receiver_interpolation,
+            'tol_gradient': self.tol_gradient,
+            'file_dir': self.file_dir,
+            '_input_sc2': self._input_sc2,
+        }
+
+        if what == 'plain':
+            for key in ['synthetic', 'residual', 'weights']:
+                if key in out['survey']['data'].keys():
+                    del out['survey']['data'][key]
+
+        if what in ['computed', 'all']:
+            for name in ['_dict_grid',
+                         '_dict_efield', '_dict_efield_info',
+                         '_dict_bfield', '_dict_bfield_info']:
+                if hasattr(self, name):
+                    out[name] = getattr(self, name)
+
+        if what in ['computed', 'results', 'all']:
+            out['gradient'] = self._gradient
+            out['misfit'] = self._misfit
+            out['computed'] = self._computed
+
+        if copy:
+            return deepcopy(out)
+        return out
+
+    @classmethod
+    def from_dict(cls, inp):
+        """Create a Simulation from a dict (reference simulations.py:485)."""
+        from emg3d_tpu import surveys
+
+        inp = {k: v for k, v in inp.items() if k != '__class__'}
+
+        # Mandatory parts.
+        survey = inp.pop('survey')
+        if isinstance(survey, dict):
+            survey = surveys.Survey.from_dict(survey)
+        model = inp.pop('model')
+        if isinstance(model, dict):
+            model = models.Model.from_dict(model)
+
+        # Optional stored state.
+        computed = inp.pop('computed', False)
+        misfit = inp.pop('misfit', None)
+        gradient = inp.pop('gradient', None)
+        stored = {}
+        for name in ['_dict_grid', '_dict_efield', '_dict_efield_info',
+                     '_dict_bfield', '_dict_bfield_info']:
+            if name in inp:
+                stored[name] = inp.pop(name)
+
+        # tol_gradient travels inside solver_opts (popped in __init__).
+        if 'tol_gradient' in inp:
+            inp.setdefault('solver_opts', {})
+            inp['solver_opts']['tol_gradient'] = inp.pop('tol_gradient')
+
+        # gridding_opts go back through the constructor.
+        gridding = inp.pop('gridding', 'single')
+        gridding_opts = inp.pop('gridding_opts', {})
+        if gridding in ('dict', 'input'):
+            # Deserialize grids.
+            if gridding == 'dict' and isinstance(gridding_opts, dict):
+                gridding_opts = {
+                    src: {f: (meshes.TensorMesh.from_dict(g)
+                              if isinstance(g, dict) else g)
+                          for f, g in fdict.items()}
+                    for src, fdict in gridding_opts.items()}
+            elif gridding == 'input' and isinstance(gridding_opts, dict):
+                gridding_opts = meshes.TensorMesh.from_dict(gridding_opts)
+
+        sim = cls(survey=survey, model=model, gridding=gridding,
+                  gridding_opts=gridding_opts, **inp)
+
+        # Restore stored state (grids/fields may be dicts from io).
+        def _maybe(cls_, v):
+            return cls_.from_dict(v) if isinstance(v, dict) else v
+
+        for name, d in stored.items():
+            out = {}
+            for src, fdict in d.items():
+                out[src] = {}
+                for f, v in fdict.items():
+                    if v is None or isinstance(v, str):
+                        out[src][f] = v
+                    elif 'info' in name:
+                        out[src][f] = v
+                    elif 'grid' in name:
+                        out[src][f] = _maybe(meshes.TensorMesh, v)
+                    else:
+                        out[src][f] = _maybe(fields.Field, v)
+            setattr(sim, name, out)
+
+        sim._computed = computed
+        sim._misfit = misfit
+        sim._gradient = gradient
+
+        # Synthetic responses exist => mark computed.
+        if np.isfinite(np.asarray(sim.data.synthetic)).any():
+            sim._computed = True
+
+        return sim
+
+    def to_file(self, fname, what='computed', name='simulation', **kwargs):
+        """Store the Simulation to a file (reference simulations.py:547)."""
+        kwargs[name] = self
+        self._what_to_file = what
+        return io.save(fname, **kwargs)
+
+    @classmethod
+    def from_file(cls, fname, name='simulation', **kwargs):
+        """Load a Simulation from a file (reference simulations.py:588)."""
+        out = io.load(fname, **kwargs)
+        if kwargs.get('verb', 0) < 0:
+            return out[0][name], out[1]
+        return out[name]
+
+    # ----------------------------------------------------------------------
+    # Grids, models, fields.
+    # ----------------------------------------------------------------------
+
+    @property
+    def data(self):
+        """Shortcut to survey.data."""
+        return self.survey.data
+
+    def get_grid(self, source, frequency):
+        """Computational grid for (source, frequency).
+
+        Gridding modes per reference simulations.py:624-697.
+        """
+        freq = self._freq_inp2key(frequency)
+
+        if self._dict_grid[source][freq] is not None:
+            return self._dict_grid[source][freq]
+
+        if self.gridding == 'same':
+            self._dict_grid[source][freq] = self.model.grid
+
+        elif self.gridding == 'frequency':
+            if not hasattr(self, '_grid_frequency'):
+                self._grid_frequency = {}
+            if freq not in self._grid_frequency.keys():
+                inp = {**self.gridding_opts,
+                       'frequency': self.survey.frequencies[freq]}
+                self._grid_frequency[freq] = meshes.construct_mesh(**inp)
+            self._dict_grid[source][freq] = self._grid_frequency[freq]
+
+        elif self.gridding == 'source':
+            if not hasattr(self, '_grid_source'):
+                self._grid_source = {}
+            if source not in self._grid_source.keys():
+                center = self.survey.sources[source].center
+                inp = {**self.gridding_opts, 'center': center}
+                self._grid_source[source] = meshes.construct_mesh(**inp)
+            self._dict_grid[source][freq] = self._grid_source[source]
+
+        elif self.gridding == 'both':
+            center = self.survey.sources[source].center
+            inp = {**self.gridding_opts,
+                   'frequency': self.survey.frequencies[freq],
+                   'center': center}
+            self._dict_grid[source][freq] = meshes.construct_mesh(**inp)
+
+        else:  # 'single' (and fallback)
+            if not hasattr(self, '_grid_single'):
+                self._grid_single = meshes.construct_mesh(
+                    **self.gridding_opts)
+            self._dict_grid[source][freq] = self._grid_single
+
+        return self.get_grid(source, frequency)
+
+    def get_model(self, source, frequency):
+        """Model interpolated to the task grid."""
+        grid = self.get_grid(source, self._freq_inp2key(frequency))
+        return self.model.interpolate_to_grid(grid)
+
+    def get_efield(self, source, frequency):
+        """Electric field for (source, frequency); computes if missing."""
+        freq = self._freq_inp2key(frequency)
+        if self._dict_get('efield', source, freq) is None:
+            self.compute(source=source, frequency=freq)
+        return self._dict_get('efield', source, freq)
+
+    def get_hfield(self, source, frequency):
+        """Magnetic field for (source, frequency)."""
+        freq = self._freq_inp2key(frequency)
+        if self._dict_get('efield', source, freq) is None:
+            self.compute(source=source, frequency=freq)
+        return fields.get_magnetic_field(
+            self.get_model(source, freq),
+            self._dict_get('efield', source, freq))
+
+    def get_efield_info(self, source, frequency):
+        """Solver info of the (source, frequency) computation."""
+        return self._dict_get(
+            'efield_info', source, self._freq_inp2key(frequency))
+
+    def _dict_get(self, which, source, frequency):
+        """dict lookup that works for file-based computations too."""
+        value = getattr(self, f"_dict_{which}")[source][frequency]
+        return self._load(value, ['efield', 'info']['info' in which])
+
+    def _load(self, value, what):
+        """Return value (memory) or load value[what] (file-based)."""
+        if self.file_dir and value is not None and isinstance(value, str):
+            return io.load(value, verb=0)[what]
+        return value
+
+    def _data_or_file(self, what, source, frequency, data):
+        """Return data, or write it to an h5 file and return the name."""
+        if self.file_dir:
+            fname = os.path.join(
+                self.file_dir, f"{what}_{source}_{frequency}.h5")
+            io.save(fname, data=data, verb=0)
+            return fname
+        return data
+
+    def _get_responses(self, source, frequency, efield=None):
+        """Electric/magnetic responses at the receiver locations.
+
+        Reference simulations.py:759-793.
+        """
+        erec, mrec = self.survey._irec_types
+        erec_coord, mrec_coord = self.survey._rec_types_coord(source)
+
+        resp = np.zeros_like(self.data.synthetic.loc[source, :, frequency])
+
+        if efield is None:
+            efield = self._dict_get('efield', source, frequency)
+
+        if erec.size:
+            resp[erec] = efield.get_receiver(
+                receiver=erec_coord, method=self.receiver_interpolation)
+
+        if mrec.size:
+            hfield = fields.get_magnetic_field(
+                self.get_model(source, frequency), efield)
+            resp[mrec] = hfield.get_receiver(
+                receiver=mrec_coord, method=self.receiver_interpolation)
+
+        return resp
+
+    # ----------------------------------------------------------------------
+    # Computation.
+    # ----------------------------------------------------------------------
+
+    def compute(self, observed=False, **kwargs):
+        """Compute efields for all (source, frequency) pairs.
+
+        Reference simulations.py:795-833.  ``observed=True`` stores the
+        synthetic responses as observed and adds noise (if configured).
+        """
+        source = kwargs.pop('source', None)
+        frequency = kwargs.pop('frequency', None)
+        if self.layered:
+            if source or frequency:
+                raise NotImplementedError("No fields if `layered` is used.")
+            self._compute_1d()
+        else:
+            self._compute([(source, frequency)])
+
+        if observed:
+            self.data['observed'] = self.data['synthetic'].copy()
+            if kwargs.pop('add_noise', True):
+                self.survey.add_noise(**kwargs)
+        elif source is None and frequency is None:
+            self._computed = True
+
+    def _compute(self, srcfreq):
+        """Solve the electric fields (reference simulations.py:835-880)."""
+        if not srcfreq[0][0]:
+            srcfreq = self._srcfreq
+
+        def collect_efield_inputs(inp):
+            source, freq = inp
+            data = {
+                'model': self.model,
+                'grid': self.get_grid(source, freq),
+                'source': self.survey.sources[source],
+                'frequency': self.survey.frequencies[freq],
+                'efield': self._dict_get('efield', source, freq),
+                'solver_opts': self.solver_opts,
+            }
+            data['solver_opts']['tol'] = self.tol_forward
+            return self._data_or_file('efield', source, freq, data)
+
+        out = _tasks.process_map(
+            _tasks.solve,
+            list(map(collect_efield_inputs, srcfreq)),
+            max_workers=self.max_workers,
+            **{'desc': 'Compute efields', **self._tqdm_opts})
+
+        for i, (src, freq) in enumerate(srcfreq):
+            self._dict_efield[src][freq] = out[i][0]
+            self._dict_efield_info[src][freq] = out[i][1]
+            resp = self._get_responses(src, freq)
+            self.data['synthetic'].loc[src, :, freq] = resp
+
+        self.print_solver_info('efield', verb=self.verb)
+
+    def _compute_1d(self, gradient=False):
+        """Layered (1-D) modelling — requires a 1-D engine (empymod).
+
+        The reference delegates to empymod.bipole
+        (simulations.py:882-941); not available in this build.
+        """
+        raise NotImplementedError(
+            "Layered (1-D) computation requires the 1-D engine; "
+            "not available in emg3d_tpu yet.")
+
+    # ----------------------------------------------------------------------
+    # Optimization: misfit, gradient, jvec, jtvec.
+    # ----------------------------------------------------------------------
+
+    @property
+    def misfit(self):
+        """Weighted l2 data misfit φ = Σ w|r|²/2.
+
+        Reference simulations.py:1096-1191; NaN entries (no data) are
+        excluded from the sum.
+        """
+        if self._misfit is None:
+            if not self._computed:
+                self.compute()
+
+            if 'weights' not in self.data.keys():
+                std = self.survey.standard_deviation
+                if std is None:
+                    raise ValueError(
+                        "Either `noise_floor` or `relative_error` or both "
+                        "must be provided (>0) to compute the "
+                        "`standard_deviation`. It can also be set "
+                        "directly (same shape as data). The standard "
+                        "deviation is required to compute the misfit.")
+                self.data['weights'] = std ** -2
+
+            residual = self.data.synthetic - self.data.observed
+            self.data['residual'] = residual
+
+            weights = self.data['weights']
+            self._misfit = float(np.real(
+                np.nansum(weights.data * residual.data.conj()
+                          * residual.data)) / 2)
+
+        return self._misfit
+
+    @property
+    def gradient(self):
+        """Adjoint-state gradient (reference simulations.py:943-1094).
+
+        Shape: (nx, ny, nz) isotropic; (2, ...) HTI/VTI; (3, ...)
+        triaxial.
+        """
+        if self._gradient is None:
+            _ = self.misfit  # Ensures fields are computed.
+
+            if self.layered:
+                gradient = self._compute_1d(gradient=True)
+            else:
+                if self.receiver_interpolation == 'cubic':
+                    warnings.warn(
+                        "emg3d: Receiver responses were obtained with "
+                        "cubic interpolation. This will not yield the "
+                        "exact gradient. Change "
+                        "`receiver_interpolation='linear'` in the call "
+                        "to Simulation().", UserWarning)
+
+                var = (self.model.epsilon_r, self.model.mu_r)
+                nam = ('el. permittivity', 'magn. permeability')
+                for v, n in zip(var, nam):
+                    if v is not None and not np.allclose(v, 1.0):
+                        raise NotImplementedError(
+                            f"Gradient not implemented for {n}.")
+
+                self._bcompute()
+
+                gradient = np.zeros((3, *self.model.shape), order='F')
+
+                for src, freq in self._srcfreq:
+                    efield = self._dict_get('efield', src, freq)
+                    bfield = self._dict_get('bfield', src, freq)
+
+                    # λ̄ S' E: multiply back- and forward fields.
+                    gfield = fields.Field(
+                        grid=efield.grid,
+                        data=np.real(
+                            bfield.field * efield.smu0 * efield.field))
+
+                    shape = gfield.grid.shape_cells
+                    grad = np.zeros((3, *shape), order='F')
+                    cell_volumes = gfield.grid.cell_volumes
+                    maps.interp_edges_to_vol_averages(
+                        ex=gfield.fx, ey=gfield.fy, ez=gfield.fz,
+                        volumes=cell_volumes.reshape(shape, order='F'),
+                        ox=grad[0, ...], oy=grad[1, ...],
+                        oz=grad[2, ...])
+
+                    if self.model.grid != gfield.grid:
+                        maps.interp_volume_average_adj(
+                            oval=gradient, ogrid=self.model.grid,
+                            nval=grad, ngrid=gfield.grid)
+                    else:
+                        gradient += grad
+
+            # Property-map chain rule; merge directions per anisotropy
+            # case (reference simulations.py:1071-1092).
+            indices = [0]
+            if self.model.case in ['HTI', 'triaxial']:
+                self.model.map.derivative_chain(
+                    gradient[1, ...], self.model.property_y)
+                indices.append(1)
+            else:
+                gradient[0, ...] += gradient[1, ...]
+
+            if self.model.case in ['VTI', 'triaxial']:
+                self.model.map.derivative_chain(
+                    gradient[2, ...], self.model.property_z)
+                indices.append(2)
+            else:
+                gradient[0, ...] += gradient[2, ...]
+
+            self.model.map.derivative_chain(
+                gradient[0, ...], self.model.property_x)
+
+            self._gradient = gradient[
+                indices, ..., :self._input_sc2].squeeze()
+
+        return self._gradient
+
+    def _bcompute(self):
+        """Back-propagate the residual fields (simulations.py:1193-1233)."""
+        if not hasattr(self, '_dict_bfield'):
+            self._dict_bfield = self._dict_initiate
+            self._dict_bfield_info = self._dict_initiate
+
+        def collect_bfield_inputs(inp):
+            source, freq = inp
+            data = {
+                'model': self.model,
+                'sfield': self._get_rfield(source, freq),
+                'efield': self._dict_get('bfield', source, freq),
+                'solver_opts': self.solver_opts,
+            }
+            data['solver_opts']['tol'] = self.tol_gradient
+            return self._data_or_file('bfield', source, freq, data)
+
+        out = _tasks.process_map(
+            _tasks.solve,
+            list(map(collect_bfield_inputs, self._srcfreq)),
+            max_workers=self.max_workers,
+            **{'desc': 'Back-propagate', **self._tqdm_opts})
+
+        for i, (src, freq) in enumerate(self._srcfreq):
+            self._dict_bfield[src][freq] = out[i][0]
+            self._dict_bfield_info[src][freq] = out[i][1]
+
+        self.print_solver_info('bfield', verb=self.verb)
+
+    def _get_rfield(self, source, frequency):
+        """Adjoint (residual) source field (simulations.py:1235-1268)."""
+        freq = self.survey.frequencies[frequency]
+
+        grid = self.get_grid(source, frequency)
+        residual = self.data.residual.loc[source, :, frequency]
+        weight = self.data.weights.loc[source, :, frequency]
+
+        rfield = fields.Field(grid, frequency=freq)
+
+        # Weighted residual, normalized by -smu0, conjugated.
+        strength = np.conj(residual * weight / -rfield.smu0)
+
+        for i, rec in enumerate(self.survey.receivers.values()):
+            if np.isnan(residual[i]):
+                continue
+            coords = rec.coordinates_abs(self.survey.sources[source])
+            src = rec._adjoint_source(coords, strength=strength[i])
+            rfield.field = (
+                rfield.field
+                + src.get_field(grid=grid, frequency=freq).field)
+
+        return rfield
+
+    def jvec(self, vector):
+        """J v = P A⁻¹ G v: sensitivity times model vector.
+
+        Reference simulations.py:1270-1397 (there via discretize; here
+        via the native edge-inner-product derivative in emg3d_tpu.maps).
+        """
+        if self.layered:
+            raise NotImplementedError(
+                "`jvec` is not implemented for `layered`.")
+
+        _ = self.misfit  # Ensures fields are computed.
+
+        vector = np.asarray(vector)
+        if vector.ndim == 3:
+            vector = vector[None, ...].copy()
+        else:
+            vector = vector.copy()
+
+        self.model.map.derivative_chain(
+            vector[0, ...], self.model.property_x)
+        if self.model.case in ['HTI', 'triaxial']:
+            self.model.map.derivative_chain(
+                vector[1, ...], self.model.property_y)
+        if self.model.case in ['VTI', 'triaxial']:
+            n = 1 if self.model.case == 'VTI' else 2
+            self.model.map.derivative_chain(
+                vector[n, ...], self.model.property_z)
+
+        iopts = {'method': 'volume', 'extrapolate': True,
+                 'log': False, 'grid': self.model.grid}
+
+        def collect_gfield_inputs(inp, vector=vector):
+            source, freq = inp
+            efield = self._dict_get('efield', source, freq)
+
+            cvector = [
+                maps.interpolate(values=v, xi=efield.grid, **iopts)
+                for v in vector[:, ...]
+            ]
+
+            # Per-direction cell vectors (x, y, z edge components).
+            if self.model.case == 'isotropic':
+                cvec = (cvector[0],) * 3
+            elif self.model.case == 'HTI':
+                cvec = (cvector[0], cvector[1], cvector[0])
+            elif self.model.case == 'VTI':
+                cvec = (cvector[0], cvector[0], cvector[1])
+            else:
+                cvec = tuple(cvector)
+
+            gvec = maps.edge_product_deriv_times_vector(efield, cvec)
+
+            gfield = fields.Field(
+                grid=efield.grid,
+                data=-efield.smu0 * gvec,
+                frequency=efield.frequency)
+
+            data = {
+                'model': self.model,
+                'sfield': gfield,
+                'efield': None,
+                'solver_opts': self.solver_opts,
+            }
+            data['solver_opts']['tol'] = self.tol_gradient
+            return self._data_or_file('gfield', source, freq, data)
+
+        out = _tasks.process_map(
+            _tasks.solve,
+            list(map(collect_gfield_inputs, self._srcfreq)),
+            max_workers=self.max_workers,
+            **{'desc': 'Compute jvec', **self._tqdm_opts})
+
+        if 'jvec' not in self.data.keys():
+            self.data['jvec'] = self.data.observed.copy(
+                data=np.full(self.survey.shape, np.nan + 1j * np.nan))
+
+        for i, (src, freq) in enumerate(self._srcfreq):
+            gfield = self._load(out[i][0], 'efield')
+            resp = self._get_responses(src, freq, gfield)
+            self.data['jvec'].loc[src, :, freq] = resp
+
+        return self.data['jvec'].data
+
+    def jtvec(self, vector):
+        """Jᴴ v: adjoint sensitivity (equals gradient for v=w·r).
+
+        Reference simulations.py:1399-1444.
+        """
+        _ = self.misfit  # Ensure weights/residual exist.
+
+        with np.errstate(invalid='ignore'):
+            self.data.residual[...] = (
+                np.asarray(vector) / self.data.weights.data)
+
+        self._gradient = None
+        for name in ['_dict_bfield', '_dict_bfield_info']:
+            if hasattr(self, name):
+                delattr(self, name)
+
+        return self.gradient
+
+    # ----------------------------------------------------------------------
+    # Utils.
+    # ----------------------------------------------------------------------
+
+    @property
+    def _dict_initiate(self):
+        """Nested dict[source][freq] = None."""
+        return {src: {freq: None for freq in self.survey.frequencies}
+                for src in self.survey.sources.keys()}
+
+    @property
+    def _srcfreq(self):
+        """List of all (source, frequency) key pairs."""
+        if getattr(self, '__srcfreq', None) is None:
+            self.__srcfreq = list(itertools.product(
+                self.survey.sources.keys(),
+                self.survey.frequencies.keys()))
+        return self.__srcfreq
+
+    def _freq_inp2key(self, frequency):
+        """Accept a frequency key or value; return the key."""
+        if not isinstance(frequency, str):
+            if not hasattr(self, '__freq_inp2key'):
+                self.__freq_inp2key = {
+                    float(v): k for k, v in
+                    self.survey.frequencies.items()}
+            frequency = self.__freq_inp2key[float(frequency)]
+        return frequency
+
+    @property
+    def _info_grids(self):
+        """One-line info about the used grid(s)."""
+        if self.gridding == 'same':
+            srcfreq = self._srcfreq[0]
+            grid = self.get_grid(*srcfreq)
+            return (f"Same grid as model: {grid.shape_cells[0]} x "
+                    f"{grid.shape_cells[1]} x {grid.shape_cells[2]}")
+        return f"{self.gridding}"
+
+    def print_grid_info(self, verb=1, return_info=False):
+        """Print (or return) information about the computational grids."""
+        out = ""
+        printed = set()
+        for src, freq in self._srcfreq:
+            grid = self.get_grid(src, freq)
+            if id(grid) in printed:
+                continue
+            printed.add(id(grid))
+            out += (f"= Grid for [{src}, {freq}] and all that share it =\n"
+                    f"{grid!r}\n")
+        if return_info:
+            return out
+        if verb > 0:
+            print(out)
+
+    def print_solver_info(self, field='efield', verb=1, return_info=False):
+        """Print solver exit messages (simulations.py:1574-1614)."""
+        if verb < 0:
+            return None if not return_info else ""
+
+        info = getattr(self, f"_dict_{field}_info", {})
+        out = ""
+        for src, freq in self._srcfreq:
+            cinfo = info[src][freq]
+            cinfo = self._load(cinfo, 'info')
+            if cinfo is None:
+                continue
+            exit_ = cinfo.get('exit', 0)
+            if verb > 0 or exit_ != 0:
+                out += (f"= Solver settings and info for {src} / {freq} "
+                        f"(exit: {exit_}) =\n")
+                out += f"   > {cinfo.get('exit_message', '')}\n"
+        if return_info:
+            return out
+        if out:
+            print(out)
+
+    # ----------------------------------------------------------------------
+    # Model / gridding / layered setup.
+    # ----------------------------------------------------------------------
+
+    def _set_model(self, model, kwargs):
+        """Set self.model and self.gridding_opts (simulations.py:1616)."""
+        self._input_sc2 = kwargs.pop('_input_sc2', model.shape[2])
+
+        gridding_opts = kwargs.pop('gridding_opts', {})
+
+        if self.gridding == 'dict':
+            self._dict_grid = gridding_opts
+        elif self.gridding == 'input':
+            self._grid_single = gridding_opts
+        elif self.gridding == 'same':
+            if gridding_opts:
+                raise TypeError(
+                    "`gridding_opts` is not permitted if "
+                    "`gridding='same'`.")
+        else:
+            g_opts = dict(gridding_opts)
+            expand = g_opts.pop('expand', None)
+            if expand is not None:
+                warnings.warn(
+                    "emg3d: `expand` is deprecated; a property-complete "
+                    "model has to be provided.", FutureWarning)
+                try:
+                    interface = g_opts['seasurface']
+                except KeyError as e:
+                    raise KeyError(
+                        "`g_opts['seasurface']` is required if "
+                        "`g_opts['expand']` is provided.") from e
+                model = models.expand_grid_model(model, expand, interface)
+
+            gridding_opts = meshes.estimate_gridding_opts(
+                g_opts, model, self.survey, self._input_sc2)
+
+        self.gridding_opts = gridding_opts
+        self.model = model
+
+    def _set_layered_opts(self, layered, layered_opts):
+        """Store layered settings (1-D engine not bundled)."""
+        self.layered = bool(layered)
+        self.layered_opts = dict(layered_opts or {})

@@ -12,6 +12,8 @@ as long as no backend has been initialized yet.
 
 import os
 
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
