@@ -1,0 +1,305 @@
+"""Config-file parsing for the CLI (reference emg3d/cli/parser.py:26-455).
+
+The `emg3d.cfg` INI format is kept compatible: sections [files],
+[simulation], [solver_opts], [gridding_opts], [noise_opts], [layered],
+[data]; terminal arguments overrule config values.
+"""
+
+import configparser
+import os
+import warnings
+from pathlib import Path
+
+__all__ = ['parse_config_file']
+
+
+def parse_config_file(args_dict):
+    """Read and parse the configuration file; apply terminal overrides.
+
+    Returns (conf-dict, term-dict).
+    """
+    config = args_dict.pop('config')
+    configfile = os.path.abspath(config)
+    cfg = configparser.ConfigParser(inline_comment_prefixes='#')
+
+    if os.path.isfile(configfile):
+        with open(configfile) as f:
+            cfg.read_file(f)
+    elif config == '.':
+        configfile = config  # '.' => deliberately no config file.
+
+    # Terminal arguments.
+    term = {'config_file': configfile}
+    for key in ['verbosity', 'nproc', 'dry_run', 'clean', 'layered']:
+        term[key] = args_dict.pop(key)
+
+    term['function'] = 'forward'
+    for key in ['forward', 'misfit', 'gradient']:
+        if args_dict.pop(key):
+            term['function'] = key
+
+    for key in ['path', 'survey', 'model', 'output', 'save', 'load',
+                'cache']:
+        term[key] = args_dict.pop(key)
+
+    if args_dict:
+        raise TypeError(
+            f"Unexpected parameter in **args_dict: "
+            f"{list(args_dict.keys())}.")
+
+    term['verbosity'] = int(min(max(term['verbosity'], -1), 2))
+    if term['nproc'] is not None:
+        term['nproc'] = int(max(term['nproc'], 1))
+
+    # [files]
+    if 'files' not in cfg.sections():
+        cfg.add_section('files')
+    all_files = dict(cfg.items('files'))
+
+    path = term.pop('path')
+    if path is None:
+        path = all_files.pop('path', '.')
+    path = os.path.abspath(path)
+
+    files = {'save': False, 'load': False, 'cache': False,
+             'survey': 'survey', 'model': 'model', 'output': 'emg3d_out'}
+    logfile = os.path.join(path, 'emg3d_out.log')
+    for key, value in files.items():
+        config_or_default = all_files.pop(key, value)
+        fname = term.pop(key)
+        if fname is None:
+            fname = config_or_default
+        if not fname:
+            continue
+        ffile = Path(os.path.join(path, fname))
+        if ffile.suffix not in ['.h5', '.json', '.npz']:
+            ffile = ffile.with_suffix('.h5')
+        if key == 'output':
+            logfile = str(ffile.with_suffix('.log'))
+        files[key] = str(ffile)
+
+    cache = files.pop('cache')
+    if cache:
+        # Resume semantics: always save; load only when it exists already.
+        files['save'] = cache
+        files['load'] = cache if os.path.isfile(cache) else False
+    files['log'] = logfile
+
+    if all_files:
+        raise TypeError(
+            f"Unexpected parameter in [files]: {list(all_files.keys())}.")
+
+    # [simulation]
+    simulation = {}
+    if 'simulation' not in cfg.sections():
+        cfg.add_section('simulation')
+    all_sim = dict(cfg.items('simulation'))
+
+    key = 'max_workers'
+    all_sim.pop(key, None)
+    if term['nproc'] is not None:
+        simulation[key] = term['nproc']
+    elif cfg.has_option('simulation', key):
+        simulation[key] = cfg.getint('simulation', key)
+    del term['nproc']
+
+    key = 'layered'
+    all_sim.pop(key, None)
+    if term[key] is not None:
+        simulation[key] = term[key]
+    elif cfg.has_option('simulation', key):
+        simulation[key] = cfg.getboolean('simulation', key)
+    del term[key]
+
+    for key in ['gridding', 'file_dir']:
+        if cfg.has_option('simulation', key):
+            all_sim.pop(key)
+            simulation[key] = cfg.get('simulation', key)
+
+    key = 'name'
+    if cfg.has_option('simulation', key):
+        all_sim.pop(key)
+        simulation[key] = cfg.get('simulation', key)
+    else:
+        simulation[key] = "emg3d-tpu CLI run"
+
+    key = 'receiver_interpolation'
+    if cfg.has_option('simulation', key):
+        all_sim.pop(key)
+        simulation[key] = cfg.get('simulation', key)
+    elif term['function'] == 'gradient':
+        simulation[key] = 'linear'  # Gradient needs 'linear'.
+
+    # Deprecated noise keys in [simulation].
+    noise_kwargs = {}
+    for key in ['min_offset', 'mean_noise', 'max_offset']:
+        if cfg.has_option('simulation', key):
+            all_sim.pop(key)
+            noise_kwargs[key] = cfg.getfloat('simulation', key)
+    key = 'ntype'
+    if cfg.has_option('simulation', key):
+        all_sim.pop(key)
+        noise_kwargs[key] = cfg.get('simulation', key)
+
+    if all_sim:
+        raise TypeError(
+            f"Unexpected parameter in [simulation]: "
+            f"{list(all_sim.keys())}.")
+
+    if noise_kwargs:
+        warnings.warn(
+            "emg3d: noise options belong in their own section "
+            "[noise_opts]; providing them in [simulation] is deprecated.",
+            FutureWarning)
+
+    # [noise_opts]
+    if 'noise_opts' in cfg.sections():
+        all_noise = dict(cfg.items('noise_opts'))
+        for key in ['min_offset', 'max_offset', 'mean_noise']:
+            if cfg.has_option('noise_opts', key):
+                all_noise.pop(key)
+                noise_kwargs[key] = cfg.getfloat('noise_opts', key)
+        for key, get in [('ntype', cfg.get), ('add_noise', cfg.getboolean)]:
+            if cfg.has_option('noise_opts', key):
+                all_noise.pop(key)
+                noise_kwargs[key] = get('noise_opts', key)
+        if all_noise:
+            raise TypeError(
+                f"Unexpected parameter in [noise_opts]: "
+                f"{list(all_noise.keys())}.")
+
+    # [layered]
+    if 'layered' in cfg.sections():
+        layered_opts = {}
+        all_layered = dict(cfg.items('layered'))
+        if cfg.has_option('layered', 'method'):
+            all_layered.pop('method')
+            layered_opts['method'] = cfg.get('layered', 'method')
+        if cfg.has_option('layered', 'merge'):
+            all_layered.pop('merge')
+            layered_opts['merge'] = cfg.getboolean('layered', 'merge')
+
+        ellipse = {}
+        for key in ['radius', 'minor', 'factor']:
+            if cfg.has_option('layered', key):
+                all_layered.pop(key)
+                ellipse[key] = float(cfg.get('layered', key))
+        if cfg.has_option('layered', 'check_foci'):
+            all_layered.pop('check_foci')
+            ellipse['check_foci'] = cfg.getboolean('layered', 'check_foci')
+        if ellipse:
+            layered_opts['ellipse'] = ellipse
+
+        if all_layered:
+            raise TypeError(
+                f"Unexpected parameter in [layered]: "
+                f"{list(all_layered.keys())}.")
+        if layered_opts:
+            simulation['layered_opts'] = layered_opts
+
+    # [solver_opts]
+    if 'solver_opts' in cfg.sections():
+        solver = {}
+        all_solver = dict(cfg.items('solver_opts'))
+        for key in ['sslsolver', 'semicoarsening', 'linerelaxation',
+                    'plain']:
+            if cfg.has_option('solver_opts', key):
+                all_solver.pop(key)
+                solver[key] = cfg.getboolean('solver_opts', key)
+        if cfg.has_option('solver_opts', 'cycle'):
+            all_solver.pop('cycle')
+            solver['cycle'] = cfg.get('solver_opts', 'cycle')
+        for key in ['tol', 'tol_gradient']:
+            if cfg.has_option('solver_opts', key):
+                all_solver.pop(key)
+                solver[key] = float(cfg.get('solver_opts', key))
+        for key in ['verb', 'maxit', 'nu_init', 'nu_pre', 'nu_coarse',
+                    'nu_post', 'clevel']:
+            if cfg.has_option('solver_opts', key):
+                all_solver.pop(key)
+                solver[key] = cfg.getint('solver_opts', key)
+        if all_solver:
+            raise TypeError(
+                f"Unexpected parameter in [solver_opts]: "
+                f"{list(all_solver.keys())}.")
+        if solver:
+            simulation['solver_opts'] = solver
+
+    # [data]
+    data = {}
+    if 'data' in cfg.sections():
+        all_data = dict(cfg.items('data'))
+        for key in ['sources', 'receivers', 'frequencies']:
+            value = all_data.pop(key, False)
+            if value:
+                data[key] = [v.strip() for v in value.split(',')]
+        if cfg.has_option('data', 'remove_empty'):
+            all_data.pop('remove_empty')
+            data['remove_empty'] = cfg.getboolean('data', 'remove_empty')
+        if all_data:
+            raise TypeError(
+                f"Unexpected parameter in [data]: {list(all_data.keys())}.")
+
+    # [gridding_opts]
+    if 'gridding_opts' in cfg.sections():
+        grid = {}
+        all_grid = dict(cfg.items('gridding_opts'))
+
+        for key in ['properties', 'center', 'cell_number', 'min_width_pps',
+                    'expand']:
+            if cfg.has_option('gridding_opts', key):
+                all_grid.pop(key)
+                grid[key] = [float(v) for v in
+                             cfg.get('gridding_opts', key).split(',')]
+
+        # Per-direction values: ';'-separated x;y;z lists.
+        for key in ['domain', 'distance', 'stretching', 'min_width_limits',
+                    'center_on_edge']:
+            if cfg.has_option('gridding_opts', key):
+                all_grid.pop(key)
+                out = []
+                for p in cfg.get('gridding_opts', key).split(';'):
+                    if 'none' in p.lower():
+                        out.append(None)
+                    elif 'true' in p.lower():
+                        out.append(True)
+                    elif 'false' in p.lower():
+                        out.append(False)
+                    else:
+                        out.append([float(v) for v in p.split(',')])
+                if len(out) == 1:
+                    out = out[0]
+                else:
+                    out = {'x': out[0], 'y': out[1], 'z': out[2]}
+                grid[key] = out
+
+        for key in ['mapping', 'vector']:
+            if cfg.has_option('gridding_opts', key):
+                all_grid.pop(key)
+                grid[key] = cfg.get('gridding_opts', key)
+
+        for key in ['frequency', 'seasurface', 'max_buffer',
+                    'lambda_factor']:
+            if cfg.has_option('gridding_opts', key):
+                all_grid.pop(key)
+                grid[key] = float(cfg.get('gridding_opts', key))
+
+        if cfg.has_option('gridding_opts', 'verb'):
+            all_grid.pop('verb')
+            grid['verb'] = cfg.getint('gridding_opts', 'verb')
+
+        if cfg.has_option('gridding_opts', 'lambda_from_center'):
+            all_grid.pop('lambda_from_center')
+            grid['lambda_from_center'] = cfg.getboolean(
+                'gridding_opts', 'lambda_from_center')
+
+        if all_grid:
+            raise TypeError(
+                f"Unexpected parameter in [gridding_opts]: "
+                f"{list(all_grid.keys())}")
+        if grid:
+            simulation['gridding_opts'] = grid
+
+    out = {'files': files, 'simulation_options': simulation, 'data': data,
+           'noise_kwargs': noise_kwargs}
+    return out, term

@@ -334,7 +334,8 @@ class Receiver(Wire):
         self._relative = relative
         self._data_type = data_type.lower()
         self._repr_add = (
-            f"{['absolute', 'relative'][self.relative]}; {self.data_type};")
+            f"{['absolute', 'relative'][int(self.relative)]}; "
+            f"{self.data_type};")
         super().__init__(**kwargs)
 
     @property

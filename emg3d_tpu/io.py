@@ -52,8 +52,12 @@ def save(fname, **kwargs):
     else:
         raise ValueError(f"Unknown extension '{ext}'.")
 
+    info = (f"Data saved to «{fname}»\n[{data['_version']} "
+            f"(format {data['_format']}) on {data['_date']}]")
     if verb > 0:
-        print(f"Data saved to '{fname}'.")
+        print(info)
+    elif verb < 0:
+        return info
 
 
 def load(fname, **kwargs):
@@ -81,10 +85,18 @@ def load(fname, **kwargs):
     else:
         raise ValueError(f"Unknown extension '{ext}'.")
 
+    version = data.pop("_version", "unknown version")
+    date = data.pop("_date", "unknown date")
+    fformat = data.pop("_format", "unknown format")
+
     data = _dict_deserialize(data)
 
+    info = (f"Data loaded from «{fname}»\n[{version} "
+            f"(format {fformat}) on {date}]")
     if verb > 0:
-        print(f"Data loaded from '{fname}'.")
+        print(info)
+    elif verb < 0:
+        return data, info
     return data
 
 
