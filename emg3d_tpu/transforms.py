@@ -1,0 +1,261 @@
+"""Native digital-linear-filter (DLF) engine for Fourier transforms.
+
+The reference delegates its frequency-to-time transform to empymod
+(emg3d/time.py:393-394, 357-386: ``empymod.utils.check_time`` +
+``empymod.model.tem``).  empg3d_tpu bundles a self-contained engine
+instead:
+
+- **Filter design** (:func:`design_filter`): sine/cosine DLF filters are
+  designed at import time by weighted least squares on analytical
+  transform pairs (the classic Gauss/exponential pairs), with a small
+  grid search over the log-spacing and shift — the approach of the
+  public filter-design literature (Ghosh 1971; Kong 2007; Werthmüller
+  et al. 2019, SoftwareX "fdesign").  No third-party coefficient tables
+  are shipped.
+- **Application** (:func:`fourier_dlf`): the frequency-domain data is
+  splined (log-frequency, real/imag separately) and evaluated at the
+  filter abscissae b_i/t — the 'splined DLF' variant; the evaluation is
+  a dense (nt × nfilt) matrix contraction.
+
+Sign conventions follow the solver's s = +iω Laplace parameter
+(fields.py ``sval``): for a causal real impulse response h(t) with
+H(ω) = ∫ h(t) e^{-iωt} dt,
+
+    impulse   : h(t) = -2/π ∫ Im[H] sin(ωt) dω
+    switch-on : a(t) = +2/π ∫ Re[H] sin(ωt)/ω dω
+    switch-off: b(t) = H(0) - a(t) = -2/π ∫ Im[H] cos(ωt)/ω dω  + ...
+
+(the switch-off uses that b(t) for t>0 needs no DC term:
+b(t) = -2/π ∫ [Im(H)/ω] cos(ωt) dω).
+
+These are validated against the analytical time-domain fullspace
+solution in tests/test_time.py.
+"""
+
+import functools
+
+import numpy as np
+import scipy as sp
+
+__all__ = ['DigitalFilter', 'design_filter', 'fourier_dlf',
+           'required_frequencies']
+
+
+class DigitalFilter:
+    """A digital linear filter: log-spaced base and weight values.
+
+    ``G(r) = Σ_i F(base_i / r) factor_i / r`` approximates the sine or
+    cosine transform ``G(r) = ∫_0^∞ F(λ) {sin,cos}(λ r) dλ``.
+    """
+
+    def __init__(self, name, base, sin=None, cos=None):
+        self.name = name
+        self.base = np.asarray(base)
+        self.sin = None if sin is None else np.asarray(sin)
+        self.cos = None if cos is None else np.asarray(cos)
+        # Log-spacing of the base.
+        self.factor = self.base[1] / self.base[0]
+
+    def __repr__(self):
+        return (f"DigitalFilter('{self.name}', n={self.base.size}, "
+                f"spacing={np.log(self.factor):.4f})")
+
+
+# --------------------------------------------------------------------------
+# Analytical transform pairs for design and validation.
+#
+# Sine:   ∫ λ e^{-λ²} sin(λr) dλ = √π r e^{-r²/4} / 4
+#         ∫ e^{-λ}   sin(λr) dλ = r / (1 + r²)
+#         ∫ e^{-λ²}  sin(λr) dλ = dawsn(r/2)
+# Cosine: ∫ e^{-λ²}  cos(λr) dλ = √π e^{-r²/4} / 2
+#         ∫ e^{-λ}   cos(λr) dλ = 1 / (1 + r²)
+#         ∫ e^{-2λ}  cos(λr) dλ = 2 / (4 + r²)
+# --------------------------------------------------------------------------
+
+_SIN_PAIRS = [
+    (lambda lam: lam * np.exp(-lam ** 2),
+     lambda r: np.sqrt(np.pi) * r * np.exp(-r ** 2 / 4) / 4),
+    (lambda lam: np.exp(-lam),
+     lambda r: r / (1 + r ** 2)),
+    (lambda lam: np.exp(-3 * lam),
+     lambda r: r / (9 + r ** 2)),
+]
+_SIN_CHECK = (lambda lam: np.exp(-lam ** 2),
+              lambda r: sp.special.dawsn(r / 2))
+
+_COS_PAIRS = [
+    (lambda lam: np.exp(-lam ** 2),
+     lambda r: np.sqrt(np.pi) * np.exp(-r ** 2 / 4) / 2),
+    (lambda lam: np.exp(-lam),
+     lambda r: 1 / (1 + r ** 2)),
+    (lambda lam: np.exp(-3 * lam),
+     lambda r: 3 / (9 + r ** 2)),
+]
+_COS_CHECK = (lambda lam: np.exp(-2 * lam),
+              lambda r: 2 / (4 + r ** 2))
+
+
+def _solve_weights(base, kind, r):
+    """Least-squares filter weights for given base points.
+
+    Stacks the design pairs with relative weighting and solves the
+    linear system  Σ_i F(b_i/r_j) h_i / r_j = G(r_j)  for h.
+    """
+    pairs = _SIN_PAIRS if kind == 'sin' else _COS_PAIRS
+
+    rows = []
+    rhs = []
+    for F, G in pairs:
+        lam = base[None, :] / r[:, None]            # (nr, nb)
+        A = F(lam) / r[:, None]
+        g = G(r)
+        w = 1.0 / (np.abs(g) + 1e-3 * np.abs(g).max())  # relative-ish
+        rows.append(A * w[:, None])
+        rhs.append(g * w)
+
+    A = np.concatenate(rows, axis=0)
+    b = np.concatenate(rhs)
+    h, *_ = np.linalg.lstsq(A, b, rcond=None)
+    return h
+
+
+def _check_error(base, h, kind, r):
+    """Max relative error of the filter on the held-out check pair."""
+    F, G = _SIN_CHECK if kind == 'sin' else _COS_CHECK
+    lam = base[None, :] / r[:, None]
+    approx = (F(lam) / r[:, None]) @ h
+    exact = G(r)
+    scale = np.abs(exact).max()
+    return np.max(np.abs(approx - exact) / (np.abs(exact) + 1e-8 * scale))
+
+
+@functools.lru_cache(maxsize=None)
+def design_filter(n=201, kind='both'):
+    """Design an n-point sine+cosine DLF filter.
+
+    Grid search over log-spacing and shift; weights per kind by weighted
+    least squares on the analytic pairs; held-out pair reports the
+    achieved accuracy (typically ~1e-8 relative for n=201).
+    """
+    r = np.logspace(-4, 4, 1000)
+
+    best = None
+    for spacing in np.linspace(0.06, 0.14, 9):
+        for shift in np.linspace(-0.5, 0.5, 5):
+            x = (np.arange(n) - n // 2) * spacing + shift
+            base = np.exp(x)
+            err = 0.0
+            hs = {}
+            for k in ('sin', 'cos'):
+                h = _solve_weights(base, k, r)
+                hs[k] = h
+                err = max(err, _check_error(base, h, k, r))
+            if best is None or err < best[0]:
+                best = (err, base, hs['sin'], hs['cos'])
+
+    err, base, hsin, hcos = best
+    filt = DigitalFilter(f"emg3d_tpu_{n}", base, sin=hsin, cos=hcos)
+    filt.design_error = err
+    return filt
+
+
+# --------------------------------------------------------------------------
+# Fourier transform via DLF.
+# --------------------------------------------------------------------------
+
+def required_frequencies(time, filt=None, pts_per_dec=-1):
+    """Frequencies (Hz) required to transform to the given times.
+
+    The DLF evaluates the spectrum at ω = b_i / t; the required
+    frequency range is [b_min/t_max, b_max/t_min] / (2π).  With
+    ``pts_per_dec == -1`` (lagged-style, default) the grid uses the
+    filter's own log-spacing; with > 0, that many points per decade.
+
+    Mirrors the role of ``empymod.utils.check_time``
+    (reference time.py:393-394).
+    """
+    if filt is None:
+        filt = design_filter()
+    time = np.atleast_1d(time)
+
+    omin = filt.base.min() / time.max()
+    omax = filt.base.max() / time.min()
+    fmin, fmax = omin / (2 * np.pi), omax / (2 * np.pi)
+
+    if pts_per_dec and pts_per_dec > 0:
+        dlog = np.log(10) / pts_per_dec
+    else:
+        dlog = np.log(filt.factor)
+
+    nf = int(np.ceil(np.log(fmax / fmin) / dlog)) + 1
+    return fmin * np.exp(np.arange(nf) * dlog)
+
+
+def fourier_dlf(fdata, freq, time, signal=0, filt=None):
+    """Frequency → time via splined sine/cosine DLF.
+
+    Parameters
+    ----------
+    fdata : ndarray
+        Complex spectrum at ``freq`` (angular convention s = +iω as the
+        solver returns; shape (nfreq,) or (nfreq, n)).
+    freq : ndarray
+        Frequencies (Hz) of fdata; must cover the DLF evaluation range
+        (use :func:`required_frequencies`).
+    time : ndarray
+        Output times (s).
+    signal : {-1, 0, 1}
+        Switch-off, impulse, or switch-on response.
+    filt : DigitalFilter, optional
+
+    Returns
+    -------
+    tdata : ndarray, shape (ntime,) or (ntime, n)
+    """
+    if filt is None:
+        filt = design_filter()
+    time = np.atleast_1d(time)
+    freq = np.asarray(freq)
+    fdata = np.asarray(fdata)
+    squeeze = fdata.ndim == 1
+    if squeeze:
+        fdata = fdata[:, None]
+
+    omega = 2 * np.pi * freq
+
+    # Spline the spectrum on log-ω (real and imag separately); constant
+    # extrapolation outside the provided range guards edge effects.
+    lo = np.log(omega)
+
+    def interp(vals, x):
+        spl_r = sp.interpolate.InterpolatedUnivariateSpline(
+            lo, vals.real, k=3, ext=3)
+        spl_i = sp.interpolate.InterpolatedUnivariateSpline(
+            lo, vals.imag, k=3, ext=3)
+        return spl_r(x) + 1j * spl_i(x)
+
+    # Evaluation points: ω_ij = b_i / t_j -> (nt, nb).
+    leval = np.log(filt.base[None, :] / time[:, None])
+
+    out = np.empty((time.size, fdata.shape[1]))
+    for col in range(fdata.shape[1]):
+        spec = interp(fdata[:, col], leval.ravel()).reshape(leval.shape)
+
+        if signal == 0:      # Impulse: -2/π ∫ Im(H) sin(ωt) dω.
+            kernel = spec.imag
+            weights = filt.sin
+            fac = -2.0 / np.pi
+        elif signal == 1:    # Switch-on: +2/π ∫ Re(H)/ω sin(ωt) dω.
+            kernel = spec.real / (filt.base[None, :] / time[:, None])
+            weights = filt.sin
+            fac = 2.0 / np.pi
+        elif signal == -1:   # Switch-off: -2/π ∫ Im(H)/ω cos(ωt) dω.
+            kernel = spec.imag / (filt.base[None, :] / time[:, None])
+            weights = filt.cos
+            fac = -2.0 / np.pi
+        else:
+            raise ValueError(f"signal must be -1, 0, or 1; got {signal}.")
+
+        out[:, col] = fac * (kernel @ weights) / time
+
+    return out[:, 0] if squeeze else out

@@ -280,3 +280,46 @@ def field_to_cvec(field):
         np.ascontiguousarray(field.fx).ravel(),
         np.ascontiguousarray(field.fy).ravel(),
         np.ascontiguousarray(field.fz).ravel()])
+
+
+def fullspace_dipole_time(points, src, time, resistivity, signal=1):
+    """Analytical transient E-field of an x-directed dipole in a fullspace.
+
+    Closed-form inverse Laplace transform of :func:`fullspace_dipole`
+    (Ward & Hohmann 1988, transient wholespace dipole).  With
+    theta = r sqrt(mu0 sigma / (4 t)) and P = (rh.x)rh:
+
+      E_on(t)  = 1/(4 pi sigma r^3) [ P (4θ³+6θ)/√π e^{-θ²} + 3P erfc(θ)
+                                     - x ((4θ³+2θ)/√π e^{-θ²} + erfc(θ)) ]
+      E_off(t) = E_DC - E_on(t),  E_DC = (3P - x)/(4 pi sigma r^3)
+
+    signal: +1 switch-on, -1 switch-off.  Returns (nt, n, 3).
+    """
+    from scipy import special
+
+    sigma = 1.0 / resistivity
+    points = np.atleast_2d(points)
+    time = np.atleast_1d(time)
+
+    rvec = points - np.asarray(src)[None, :]
+    r = np.linalg.norm(rvec, axis=1)
+    rh = rvec / r[:, None]
+    x = np.array([1.0, 0.0, 0.0])
+
+    theta = r[None, :] * np.sqrt(const.mu_0 * sigma / (4 * time[:, None]))
+    e = np.exp(-theta ** 2) / np.sqrt(np.pi)
+    erfc = special.erfc(theta)
+
+    cP = (4 * theta ** 3 + 6 * theta) * e + 3 * erfc     # (nt, n)
+    cX = (4 * theta ** 3 + 2 * theta) * e + erfc
+
+    P = (rh @ x)[:, None] * rh                           # (n, 3)
+    fac = 1.0 / (4 * np.pi * sigma * r ** 3)             # (n,)
+
+    e_on = fac[None, :, None] * (
+        cP[:, :, None] * P[None] - cX[:, :, None] * x[None, None])
+
+    if signal == 1:
+        return e_on
+    e_dc = fac[:, None] * (3 * P - x[None, :])
+    return e_dc[None] - e_on
