@@ -48,7 +48,20 @@ def main():
     model, sfield = make_problem(N)
 
     # Warm-up: compile all level kernels (cached for the timed run).
-    info = run(model, sfield)
+    # Retried at the job level too: remote TPU backends have transient
+    # failure windows (see solver._retry_transient).
+    last = None
+    for attempt in range(3):
+        try:
+            info = run(model, sfield)
+            break
+        except Exception as exc:
+            last = exc
+            import jax
+            jax.clear_caches()
+            time.sleep(20)
+    else:
+        raise last
     if info["exit"] != 0:
         print(json.dumps({"metric": f"fullspace_{N}c_to_1e-6",
                           "value": -1.0, "unit": "s",

@@ -569,6 +569,52 @@ class _ConvergenceError(Exception):
     """Raised to force-abort the outer Krylov solver."""
 
 
+# --------------------------------------------------------------------------
+# Transient-backend-failure retries.
+#
+# Remote TPU backends (tunneled device servers) intermittently fail
+# program execution with UNIMPLEMENTED/INTERNAL in a sticky window of
+# minutes, while the same program passes before and after.  All solver
+# device work is (re)computable from host-held references, so the
+# host-driven loops retry their device step from the last good state
+# after clearing the executable caches (forcing a fresh compile, which
+# may be routed to a healthy backend path).
+# --------------------------------------------------------------------------
+
+_TRANSIENT_WAITS = (0.0, 5.0, 15.0, 45.0, 90.0)
+
+
+def _is_transient(exc):
+    msg = str(exc)
+    return ('UNIMPLEMENTED' in msg or 'INTERNAL' in msg
+            or 'UNAVAILABLE' in msg or 'DEADLINE_EXCEEDED' in msg)
+
+
+def _retry_transient(thunk, what="device step"):
+    """Run thunk(); retry transient backend failures with cache clears.
+
+    The thunk must synchronize its result (float()/np.asarray/
+    block_until_ready) so asynchronous failures surface inside it.
+    """
+    import time as _time
+
+    for attempt, wait in enumerate(_TRANSIENT_WAITS):
+        try:
+            return thunk()
+        except Exception as exc:  # jax.errors.JaxRuntimeError et al.
+            if not _is_transient(exc) or attempt == len(
+                    _TRANSIENT_WAITS) - 1:
+                raise
+            import warnings
+            warnings.warn(
+                f"emg3d-tpu: transient backend failure in {what} "
+                f"(attempt {attempt + 1}); clearing caches and "
+                f"retrying in {wait:.0f}s.", RuntimeWarning)
+            jax.clear_caches()
+            if wait:
+                _time.sleep(wait)
+
+
 def multigrid(model, sfield, efield, var, **kwargs):
     """Run multigrid cycles until a termination criterion fires.
 
@@ -590,8 +636,12 @@ def multigrid(model, sfield, efield, var, **kwargs):
     e_lo = tuple(jnp.zeros_like(c) for c in e_hi)
 
     meta, arrays = hier.get(var.sc_dir, var.lr_dir)
-    r, l2_dev = _residual_norm_split_jit(e_hi, e_lo, s, arrays[0])
-    l2_last = float(l2_dev)
+
+    def _initial_residual():
+        r, l2_dev = _residual_norm_split_jit(e_hi, e_lo, s, arrays[0])
+        return r, float(l2_dev)
+
+    r, l2_last = _retry_transient(_initial_residual, "initial residual")
     l2_stag = np.ones(var.maxcycle) * l2_last
 
     it = 0
@@ -600,22 +650,27 @@ def multigrid(model, sfield, efield, var, **kwargs):
         l2_prev = l2_last
         l2_stag[(it - 1) % var.maxcycle] = l2_last
 
-        de = _cycle_correction(meta, arrays, r, var, first)
+        # Cycle semicoarsening and line-relaxation directions (applied
+        # to the NEXT residual evaluation, reference solver.py:639-642).
+        sc_next = next(var.sc_cycle) if var.sc_cycle else var.sc_dir
+        lr_next = next(var.lr_cycle) if var.lr_cycle else var.lr_dir
+
+        def _cycle_step(e_hi=e_hi, e_lo=e_lo, r=r, first=first,
+                        meta=meta, arrays=arrays):
+            de = _cycle_correction(meta, arrays, r, var, first)
+            e_hi2, e_lo2 = _accumulate_jit(e_hi, e_lo, de)
+            meta2, arrays2 = hier.get(sc_next, lr_next)
+            r2, l2_dev = _residual_norm_split_jit(
+                e_hi2, e_lo2, s, arrays2[0])
+            return e_hi2, e_lo2, (meta2, arrays2), r2, float(l2_dev)
+
+        e_hi, e_lo, (meta, arrays), r, l2_last = _retry_transient(
+            _cycle_step, "multigrid cycle")
+        var.sc_dir, var.lr_dir = sc_next, lr_next
         first = False
-        e_hi, e_lo = _accumulate_jit(e_hi, e_lo, de)
 
         it += 1
         var.it += 1
-
-        # Cycle semicoarsening and line-relaxation directions.
-        if var.sc_cycle:
-            var.sc_dir = next(var.sc_cycle)
-        if var.lr_cycle:
-            var.lr_dir = next(var.lr_cycle)
-        meta, arrays = hier.get(var.sc_dir, var.lr_dir)
-
-        r, l2_dev = _residual_norm_split_jit(e_hi, e_lo, s, arrays[0])
-        l2_last = float(l2_dev)
 
         var.runtime_at_cycle = np.r_[var.runtime_at_cycle, var.time.elapsed]
         var.error_at_cycle = np.r_[var.error_at_cycle, l2_last]
@@ -638,12 +693,12 @@ def multigrid(model, sfield, efield, var, **kwargs):
         dtype = efield.field.dtype
         out = fields.Field(efield.grid, dtype=dtype,
                            frequency=efield._frequency)
-        out.fx = (np.asarray(e_hi[0], dtype=dtype)
-                  + np.asarray(e_lo[0], dtype=dtype))
-        out.fy = (np.asarray(e_hi[1], dtype=dtype)
-                  + np.asarray(e_lo[1], dtype=dtype))
-        out.fz = (np.asarray(e_hi[2], dtype=dtype)
-                  + np.asarray(e_lo[2], dtype=dtype))
+
+        def _export():
+            return [np.asarray(h, dtype=dtype) + np.asarray(l, dtype=dtype)
+                    for h, l in zip(e_hi, e_lo)]
+
+        out.fx, out.fy, out.fz = _retry_transient(_export, "field export")
         efield.field = out.field
     else:
         return tuple(h + l for h, l in zip(e_hi, e_lo))
@@ -714,24 +769,32 @@ def krylov(model, sfield, efield, var):
         r = s
         l2_refe = None
         while True:
-            meta, arrays = hier.get(var.sc_dir, var.lr_dir)
-            de = _cycle_correction(meta, arrays, r, var, first)
+            sc_next = next(var.sc_cycle) if var.sc_cycle else var.sc_dir
+            lr_next = next(var.lr_cycle) if var.lr_cycle else var.lr_dir
+
+            def _prec_step(e_hi=e_hi, e_lo=e_lo, r=r, first=first,
+                           it=it):
+                meta, arrays = hier.get(var.sc_dir, var.lr_dir)
+                de = _cycle_correction(meta, arrays, r, var, first)
+                e_hi2, e_lo2 = _accumulate_jit(e_hi, e_lo, de)
+                if it + 1 == var.maxit:
+                    jax.block_until_ready(e_hi2)
+                    return e_hi2, e_lo2, None, None
+                _, arrays2 = hier.get(sc_next, lr_next)
+                r2, l2_dev = _residual_norm_split_jit(
+                    e_hi2, e_lo2, s, arrays2[0])
+                return e_hi2, e_lo2, r2, float(l2_dev)
+
+            e_hi, e_lo, r2, l2_last = _retry_transient(
+                _prec_step, "MG preconditioner cycle")
+            var.sc_dir, var.lr_dir = sc_next, lr_next
             first = False
-            e_hi, e_lo = _accumulate_jit(e_hi, e_lo, de)
             it += 1
             var.it += 1
 
-            if var.sc_cycle:
-                var.sc_dir = next(var.sc_cycle)
-            if var.lr_cycle:
-                var.lr_dir = next(var.lr_cycle)
-            meta, arrays = hier.get(var.sc_dir, var.lr_dir)
-
             if it == var.maxit:
                 break
-
-            r, l2_dev = _residual_norm_split_jit(e_hi, e_lo, s, arrays[0])
-            l2_last = float(l2_dev)
+            r = r2
             if l2_refe is None:
                 l2_refe = max(l2_last, 1e-300)
 
