@@ -420,8 +420,10 @@ def expand_grid_model(model, expand, interface):
     def extend_property(prop, add_values, nadd):
         if getattr(model, prop) is None:
             return None
-        prop_ext = np.zeros((grid.shape_cells[0], grid.shape_cells[1],
-                             grid.shape_cells[2] + nadd))
+        # model.shape, not grid.shape_cells: `grid` is rebound to the
+        # extended grid before this runs.
+        prop_ext = np.zeros((model.shape[0], model.shape[1],
+                             model.shape[2] + nadd))
         prop_ext[:, :, :-nadd] = getattr(model, prop)
         if nadd == 2:
             prop_ext[:, :, -2] = add_values[0]
