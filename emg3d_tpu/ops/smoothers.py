@@ -44,7 +44,8 @@ import itertools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gauss_seidel", "gauss_seidel_line", "solve_banded_5x5"]
+__all__ = ["gauss_seidel", "gauss_seidel_sweep", "gauss_seidel_line",
+           "gauss_seidel_line_sweep", "solve_banded_5x5"]
 
 
 # -------------------------------------------------------------------------
@@ -181,11 +182,28 @@ def _eta_pairsums(eta_x, eta_y, eta_z):
 
 def gauss_seidel(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
                  hx, hy, hz, nu):
-    """8-color node smoother: per node, solve its 6-edge 6x6 subsystem.
+    """8-color node smoother: ``nu`` sweeps with alternating phase order.
+
+    Thin loop over :func:`gauss_seidel_sweep`; kept for tests/back-compat.
+    The solver jits per sweep (two executables per shape, reused for every
+    nu) instead of per (shape, nu) — XLA compile time is superlinear in
+    graph size, so smaller reused graphs compile far faster.
+    """
+    fields = (ex, ey, ez)
+    for sweep in range(nu):
+        fields = gauss_seidel_sweep(
+            *fields, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+            hx, hy, hz, sweep % 2 == 1)
+    return fields
+
+
+def gauss_seidel_sweep(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+                       hx, hy, hz, reverse):
+    """One 8-color sweep: per node, solve its 6-edge 6x6 subsystem.
 
     All interior nodes of one (x, y, z)-parity class are relaxed
     simultaneously (their systems are fully decoupled); eight phases per
-    sweep; ``nu`` sweeps with alternating phase order (the analogue of the
+    sweep; ``reverse`` flips the phase order (the analogue of the
     reference's alternating forward/backward ordering, core.py:308-311).
     Returns the updated (ex, ey, ez).
     """
@@ -382,12 +400,12 @@ def gauss_seidel(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     colors = [(px, py, pz) for pz, py, px in
               itertools.product((0, 1), repeat=3)
               if px < nx - 1 and py < ny - 1 and pz < nz - 1]
+    if reverse:
+        colors = colors[::-1]
 
     fields = (ex, ey, ez)
-    for sweep in range(nu):
-        order = colors if sweep % 2 == 0 else colors[::-1]
-        for c in order:
-            fields = phase(fields, *c)
+    for c in colors:
+        fields = phase(fields, *c)
 
     return fields
 
@@ -399,7 +417,7 @@ def gauss_seidel(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
 # -------------------------------------------------------------------------
 
 def _line_relax_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
-                  hx, hy, hz, nu):
+                  hx, hy, hz, nu, reverse=False, single_sweep=False):
     """Line relaxation along x, 4-colored over (y, z) line parities."""
     nx, ny, nz = hx.size, hy.size, hz.size
     cdtype = ex.dtype
@@ -605,6 +623,11 @@ def _line_relax_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
               if py < ny - 1 and pz < nz - 1]
 
     fields = (ex, ey, ez)
+    if single_sweep:
+        order = colors[::-1] if reverse else colors
+        for c in order:
+            fields = phase(fields, *c)
+        return fields
     for sweep in range(nu):
         order = colors if sweep % 2 == 0 else colors[::-1]
         for c in order:
@@ -651,16 +674,28 @@ def _block_thomas(mid, left, rhs):
 
 def gauss_seidel_line(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
                       hx, hy, hz, nu, axis):
-    """Line relaxation along ``axis`` (0, 1, or 2).
+    """Line relaxation along ``axis``: nu sweeps, alternating order."""
+    fields = (ex, ey, ez)
+    for sweep in range(nu):
+        fields = gauss_seidel_line_sweep(
+            *fields, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+            hx, hy, hz, sweep % 2 == 1, axis)
+    return fields
+
+
+def gauss_seidel_line_sweep(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
+                            zeta, hx, hy, hz, reverse, axis):
+    """One 4-color line-relaxation sweep along ``axis`` (0, 1, or 2).
 
     The y-/z-variants are the x-variant applied in a permuted frame: the
     discrete curl-curl operator is covariant under coordinate permutation
     (replaces the reference's hand-written gauss_seidel_y/gauss_seidel_z,
     core.py:786-1348).
     """
+    kw = dict(nu=1, reverse=reverse, single_sweep=True)
     if axis == 0:
         return _line_relax_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
-                             zeta, hx, hy, hz, nu)
+                             zeta, hx, hy, hz, **kw)
 
     if axis == 1:
         tp = (1, 0, 2)
@@ -668,7 +703,7 @@ def gauss_seidel_line(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
             ey.transpose(tp), ex.transpose(tp), ez.transpose(tp),
             sy.transpose(tp), sx.transpose(tp), sz.transpose(tp),
             eta_y.transpose(tp), eta_x.transpose(tp), eta_z.transpose(tp),
-            zeta.transpose(tp), hy, hx, hz, nu)
+            zeta.transpose(tp), hy, hx, hz, **kw)
         ey2, ex2, ez2 = out
         return ex2.transpose(tp), ey2.transpose(tp), ez2.transpose(tp)
 
@@ -678,7 +713,7 @@ def gauss_seidel_line(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
             ez.transpose(tp), ey.transpose(tp), ex.transpose(tp),
             sz.transpose(tp), sy.transpose(tp), sx.transpose(tp),
             eta_z.transpose(tp), eta_y.transpose(tp), eta_x.transpose(tp),
-            zeta.transpose(tp), hz, hy, hx, nu)
+            zeta.transpose(tp), hz, hy, hx, **kw)
         ez2, ey2, ex2 = out
         return ex2.transpose(tp), ey2.transpose(tp), ez2.transpose(tp)
 

@@ -50,6 +50,13 @@ class Simulation:
         self.survey = survey
         self.max_workers = max_workers
         self.gridding = gridding
+        # Execution mode for the survey fan-out: 'task' (host loop over
+        # the device solver; default) or 'batch' (all (source, freq)
+        # pairs as one leading batch axis, vmapped and sharded over a
+        # jax device mesh — the TPU-native replacement of the
+        # reference's process pool; requires gridding='same' and runs
+        # plain multigrid cycles).
+        self.parallel = kwargs.pop('parallel', 'task')
         self.verb = kwargs.pop('verb', 0)
         self.name = kwargs.pop('name', None)
         self.info = kwargs.pop('info', None)
@@ -174,6 +181,7 @@ class Simulation:
             'model': self.model.to_dict(),
             'max_workers': self.max_workers,
             'gridding': self.gridding,
+            'parallel': self.parallel,
             'gridding_opts': self.gridding_opts,
             'solver_opts': self.solver_opts,
             'verb': self.verb,
@@ -455,6 +463,8 @@ class Simulation:
         """Solve the electric fields (reference simulations.py:835-880)."""
         if not srcfreq[0][0]:
             srcfreq = self._srcfreq
+            if self.parallel == 'batch':
+                return self._compute_batch(srcfreq)
 
         def collect_efield_inputs(inp):
             source, freq = inp
@@ -478,6 +488,53 @@ class Simulation:
         for i, (src, freq) in enumerate(srcfreq):
             self._dict_efield[src][freq] = out[i][0]
             self._dict_efield_info[src][freq] = out[i][1]
+            resp = self._get_responses(src, freq)
+            self.data['synthetic'].loc[src, :, freq] = resp
+
+        self.print_solver_info('efield', verb=self.verb)
+
+    def _compute_batch(self, srcfreq):
+        """All pairs as one sharded batch (emg3d_tpu.parallel.batch).
+
+        The survey's (source, frequency) axis becomes a leading batch
+        dimension sharded over the devices of a 1-D jax mesh: the
+        TPU-native form of the reference's per-task process pool.
+        """
+        import jax
+
+        from emg3d_tpu.parallel import batch
+
+        if self.gridding != 'same':
+            raise ValueError(
+                "parallel='batch' requires gridding='same' (one shared "
+                "grid for all tasks).")
+
+        sources = [self.survey.sources[src] for src, _ in srcfreq]
+        freqs = [self.survey.frequencies[f] for _, f in srcfreq]
+
+        mesh = None
+        if len(jax.devices()) > 1:
+            mesh = batch.make_task_mesh()
+
+        sopts = {k: v for k, v in self.solver_opts.items()
+                 if k in ('tol', 'maxit', 'cycle', 'nu_init', 'nu_pre',
+                          'nu_coarse', 'nu_post', 'verb')}
+        sopts['tol'] = self.tol_forward
+
+        efields, info = batch.solve_batch(
+            self.model, sources, freqs, mesh=mesh, **sopts)
+
+        for i, (src, freq) in enumerate(srcfreq):
+            self._dict_efield[src][freq] = efields[i]
+            self._dict_efield_info[src][freq] = {
+                'exit': int(info['exit_messages'][i] != 'CONVERGED'),
+                'exit_message': info['exit_messages'][i],
+                'abs_error': float(info['abs_error'][i]),
+                'rel_error': float(info['rel_error'][i]),
+                'it_mg': info['it_mg'],
+                'it_ssl': 0,
+                'tol': info['tol'],
+            }
             resp = self._get_responses(src, freq)
             self.data['synthetic'].loc[src, :, freq] = resp
 

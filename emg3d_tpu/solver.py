@@ -403,15 +403,49 @@ def _smooth_dev(e, s, arrs, c_lr_dir, nu):
     return e
 
 
+@functools.partial(jax.jit, static_argnames=('reverse',))
+def _gs_sweep_jit(e, s, arrs, reverse):
+    P = (arrs['eta_x'], arrs['eta_y'], arrs['eta_z'], arrs['zeta'],
+         arrs['hx'], arrs['hy'], arrs['hz'])
+    return smoothers.gauss_seidel_sweep(*e, *s, *P, reverse)
+
+
+@functools.partial(jax.jit, static_argnames=('reverse', 'axis'))
+def _line_sweep_jit(e, s, arrs, reverse, axis):
+    P = (arrs['eta_x'], arrs['eta_y'], arrs['eta_z'], arrs['zeta'],
+         arrs['hx'], arrs['hy'], arrs['hz'])
+    return smoothers.gauss_seidel_line_sweep(*e, *s, *P, reverse, axis)
+
+
 def _residual_dev(e, s, arrs):
     return operator.residual(
         *s, *e, arrs['eta_x'], arrs['eta_y'], arrs['eta_z'], arrs['zeta'],
         arrs['hx'], arrs['hy'], arrs['hz'])
 
 
-@functools.partial(jax.jit, static_argnames=('c_lr_dir', 'nu'))
 def _smooth_jit(e, s, arrs, c_lr_dir, nu):
-    return _smooth_dev(e, s, arrs, c_lr_dir, nu)
+    """Smoothing via per-sweep jitted kernels.
+
+    One executable per (shape, smoother-kind, sweep-order) — reused for
+    every nu and every smoothing position (pre/post/init/coarse) — keeps
+    the number and the size of the compiled XLA graphs small (compile
+    time is superlinear in graph size).
+    """
+    # Each kernel completes its nu sweeps before the next one runs
+    # (reference solver.py:836-846).
+    if c_lr_dir == 0:
+        for sweep in range(nu):
+            e = _gs_sweep_jit(e, s, arrs, sweep % 2 == 1)
+    if c_lr_dir in [1, 5, 6, 7]:
+        for sweep in range(nu):
+            e = _line_sweep_jit(e, s, arrs, sweep % 2 == 1, 0)
+    if c_lr_dir in [2, 4, 6, 7]:
+        for sweep in range(nu):
+            e = _line_sweep_jit(e, s, arrs, sweep % 2 == 1, 1)
+    if c_lr_dir in [3, 4, 5, 7]:
+        for sweep in range(nu):
+            e = _line_sweep_jit(e, s, arrs, sweep % 2 == 1, 2)
+    return e
 
 
 @jax.jit

@@ -271,6 +271,39 @@ class TestFileDir:
         assert sim.misfit < 1e-28
 
 
+class TestBatchParallel:
+
+    def test_batch_matches_task(self):
+        """Sharded batched execution reproduces the per-task solves."""
+        model, sim_inp = make_inputs(nsrc=2, nfreq=2)
+
+        sim_t = e3.Simulation(model=model, **sim_inp)
+        sim_t.compute()
+        ref = np.asarray(sim_t.data.synthetic).copy()
+
+        sim_inp2 = dict(sim_inp)
+        sim_inp2['survey'] = sim_inp['survey'].copy()
+        sim_b = e3.Simulation(model=model, parallel='batch', **sim_inp2)
+        sim_b.compute()
+        out = np.asarray(sim_b.data.synthetic)
+
+        # Same physics to solver tolerance (different iteration control).
+        np.testing.assert_allclose(out, ref, rtol=1e-4)
+        info = sim_b.get_efield_info('TxED-1', 'f-1')
+        assert info['exit_message'] == 'CONVERGED'
+
+    def test_batch_requires_same_gridding(self):
+        model, sim_inp = make_inputs()
+        sim_inp = dict(sim_inp)
+        sim_inp['gridding'] = 'input'
+        h = np.ones(16) * 100.0
+        grid_in = meshes.TensorMesh([h, h, h], origin=(-800.,) * 3)
+        sim = e3.Simulation(model=model, parallel='batch',
+                            gridding_opts=grid_in, **sim_inp)
+        with pytest.raises(ValueError, match="gridding='same'"):
+            sim.compute()
+
+
 class TestGriddingModes:
 
     def test_same_requires_no_opts(self):
