@@ -37,8 +37,8 @@ import functools
 import numpy as np
 import scipy as sp
 
-__all__ = ['DigitalFilter', 'design_filter', 'fourier_dlf',
-           'required_frequencies']
+__all__ = ['DigitalFilter', 'design_filter', 'design_hankel_filter',
+           'fourier_dlf', 'required_frequencies']
 
 
 class DigitalFilter:
@@ -94,6 +94,46 @@ _COS_PAIRS = [
 _COS_CHECK = (lambda lam: np.exp(-2 * lam),
               lambda r: 2 / (4 + r ** 2))
 
+# Hankel pairs (for the layered-earth engine):
+#   ∫ λ e^{-aλ²} J0(λr) dλ = e^{-r²/4a} / (2a)
+#   ∫ e^{-aλ} J0(λr) dλ = 1/√(a²+r²)
+#   ∫ λ² e^{-aλ²} J1(λr) dλ = r e^{-r²/4a} / (4a²)
+#   ∫ e^{-aλ} J1(λr) dλ = (1 - a/√(a²+r²)) / r
+_J0_PAIRS = [
+    (lambda lam: lam * np.exp(-lam ** 2),
+     lambda r: np.exp(-r ** 2 / 4) / 2),
+    (lambda lam: np.exp(-lam),
+     lambda r: 1 / np.sqrt(1 + r ** 2)),
+    (lambda lam: np.exp(-2 * lam),
+     lambda r: 1 / np.sqrt(4 + r ** 2)),
+]
+_J0_CHECK = (lambda lam: lam * np.exp(-2 * lam ** 2),
+             lambda r: np.exp(-r ** 2 / 8) / 4)
+
+_J1_PAIRS = [
+    (lambda lam: lam ** 2 * np.exp(-lam ** 2),
+     lambda r: r * np.exp(-r ** 2 / 4) / 4),
+    (lambda lam: np.exp(-lam),
+     lambda r: (1 - 1 / np.sqrt(1 + r ** 2)) / r),
+    (lambda lam: np.exp(-2 * lam),
+     lambda r: (1 - 2 / np.sqrt(4 + r ** 2)) / r),
+]
+_J1_CHECK = (lambda lam: lam ** 2 * np.exp(-2 * lam ** 2),
+             lambda r: r * np.exp(-r ** 2 / 8) / 16)
+
+
+_PAIRS = {}
+_CHECKS = {}
+
+
+def _get_pairs(kind):
+    if not _PAIRS:
+        _PAIRS.update(sin=_SIN_PAIRS, cos=_COS_PAIRS, j0=_J0_PAIRS,
+                      j1=_J1_PAIRS)
+        _CHECKS.update(sin=_SIN_CHECK, cos=_COS_CHECK, j0=_J0_CHECK,
+                       j1=_J1_CHECK)
+    return _PAIRS[kind], _CHECKS[kind]
+
 
 def _solve_weights(base, kind, r):
     """Least-squares filter weights for given base points.
@@ -101,7 +141,7 @@ def _solve_weights(base, kind, r):
     Stacks the design pairs with relative weighting and solves the
     linear system  Σ_i F(b_i/r_j) h_i / r_j = G(r_j)  for h.
     """
-    pairs = _SIN_PAIRS if kind == 'sin' else _COS_PAIRS
+    pairs, _ = _get_pairs(kind)
 
     rows = []
     rhs = []
@@ -121,7 +161,7 @@ def _solve_weights(base, kind, r):
 
 def _check_error(base, h, kind, r):
     """Max relative error of the filter on the held-out check pair."""
-    F, G = _SIN_CHECK if kind == 'sin' else _COS_CHECK
+    _, (F, G) = _get_pairs(kind)
     lam = base[None, :] / r[:, None]
     approx = (F(lam) / r[:, None]) @ h
     exact = G(r)
@@ -155,6 +195,40 @@ def design_filter(n=201, kind='both'):
 
     err, base, hsin, hcos = best
     filt = DigitalFilter(f"emg3d_tpu_{n}", base, sin=hsin, cos=hcos)
+    filt.design_error = err
+    return filt
+
+
+@functools.lru_cache(maxsize=None)
+def design_hankel_filter(n=201):
+    """Design an n-point J0+J1 Hankel DLF filter.
+
+    Same least-squares-on-analytic-pairs approach as
+    :func:`design_filter`; used by the layered-earth engine
+    (emg3d_tpu.layered) for the wavenumber → space transform.
+    The weights are stored on the ``sin``/``cos`` slots as ``j0``/``j1``
+    attributes.
+    """
+    r = np.logspace(-3, 3, 800)
+
+    best = None
+    for spacing in np.linspace(0.06, 0.14, 9):
+        for shift in np.linspace(-0.5, 0.5, 5):
+            x = (np.arange(n) - n // 2) * spacing + shift
+            base = np.exp(x)
+            err = 0.0
+            hs = {}
+            for k in ('j0', 'j1'):
+                h = _solve_weights(base, k, r)
+                hs[k] = h
+                err = max(err, _check_error(base, h, k, r))
+            if best is None or err < best[0]:
+                best = (err, base, hs['j0'], hs['j1'])
+
+    err, base, hj0, hj1 = best
+    filt = DigitalFilter(f"emg3d_tpu_hankel_{n}", base)
+    filt.j0 = hj0
+    filt.j1 = hj1
     filt.design_error = err
     return filt
 

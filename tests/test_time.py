@@ -182,3 +182,19 @@ class TestFourierClass:
     def test_fftlog_not_implemented(self):
         with pytest.raises(ValueError, match='FFTLog'):
             Fourier(self.time, 0.01, 10, ft='fftlog', verb=0)
+
+
+class TestHankelFilter:
+    """J0/J1 DLF design (groundwork for the layered-earth engine)."""
+
+    def test_on_fresh_exponential_pairs(self):
+        filt = transforms.design_hankel_filter()
+        r = np.logspace(-1.5, 1.5, 15)
+        lam = filt.base[None, :] / r[:, None]
+        # ∫ e^{-3λ} J0(λr) dλ = 1/√(9+r²)
+        approx = (np.exp(-3 * lam) / r[:, None]) @ filt.j0
+        assert_allclose(approx, 1 / np.sqrt(9 + r ** 2), rtol=1e-6)
+        # ∫ e^{-3λ} J1(λr) dλ = (1 - 3/√(9+r²))/r
+        approx = (np.exp(-3 * lam) / r[:, None]) @ filt.j1
+        assert_allclose(approx, (1 - 3 / np.sqrt(9 + r ** 2)) / r,
+                        rtol=1e-5)
