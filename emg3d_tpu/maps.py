@@ -9,9 +9,9 @@ TPU-native rebuild of the reference's emg3d/maps.py.
 - The volume-average regridding (reference's numba kernels
   ``interp_volume_average``/``_volume_average_weights``, maps.py:555-664) is
   implemented as *vectorized numpy* (np.add.at scatter) — no scalar loops.
-- ``interp_edges_to_vol_averages`` (reference maps.py:667-719) — used in the
-  adjoint-state gradient — has its TPU-native (jax) implementation in
-  :mod:`emg3d_tpu.ops.gradient`; the numpy version here serves I/O and tests.
+- ``interp_edges_to_vol_averages`` (reference maps.py:667-719) and the
+  regridding adjoints are host-side numpy: gradient assembly happens once
+  per solve, outside the hot device loop.
 """
 
 import numpy as np
@@ -350,7 +350,7 @@ def interp_edges_to_vol_averages(ex, ey, ez, volumes, ox, oy, oz):
     Each cell receives 1/4 of each of its four parallel edges, weighted by
     the cell volume; used to assemble gradients (reference:
     emg3d/maps.py:667-719).  Vectorized; adds to ``ox``, ``oy``, ``oz``.
-    The TPU-native jax twin lives in :mod:`emg3d_tpu.ops.gradient`.
+    Host-side by design: runs once per solve, outside the device loop.
     """
     # ex has shape (nx, ny+1, nz+1); cell (ix, iy, iz) sees edges
     # (ix, iy:iy+2, iz:iz+2).

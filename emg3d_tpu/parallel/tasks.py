@@ -80,3 +80,150 @@ def solve(inp):
         io.save(fname, efield=efield, info=info, verb=0)
         return fname, fname
     return efield, info
+
+
+def layered(inp):
+    """Layered (1-D) responses or FD gradient for one source.
+
+    Native mirror of the reference's empymod worker
+    (emg3d/_multiprocessing.py:156-463), built on the bundled layered
+    engine (:mod:`emg3d_tpu.layered`).  Input dict keys: model, src,
+    receivers, frequencies, observed, layered_opts, gradient
+    (+ weights/residual when gradient=True).
+
+    Returns (nrec, nfreq) responses, or a (3, nx, ny, nz) gradient.
+    """
+    import numpy as np
+    from copy import deepcopy
+
+    model = inp['model']
+    src = inp['src']
+    receivers = inp['receivers']
+    frequencies = np.array([f for f in inp['frequencies'].values()])
+    observed = inp['observed']
+    lopts = deepcopy(inp['layered_opts'])
+    gradient = inp['gradient']
+
+    method = lopts.pop('method', 'midpoint')
+    lopts['return_imat'] = True
+
+    vti = model.case == 'VTI'
+    if model.case in ('HTI', 'triaxial'):
+        raise NotImplementedError(
+            "Layered computation is implemented for isotropic and VTI "
+            "models (as the reference).")
+
+    if gradient:
+        out = np.zeros((3, *model.shape))
+        weights = inp.get('weights', None)
+        residual = inp.get('residual', None)
+        if weights is None or residual is None or observed is None:
+            return out
+    else:
+        out = np.full((len(receivers), frequencies.size),
+                      np.nan + 1j * np.nan)
+
+    # observed/weights/residual are plain (nrec, nfreq) ndarrays (or
+    # None), indexed positionally in receiver-dict order.
+    for i, (rkey, rec) in enumerate(receivers.items()):
+        if observed is not None:
+            fi = np.isfinite(np.asarray(observed[i]))
+            if fi.sum() == 0:
+                continue
+            freqs = frequencies[fi]
+        else:
+            fi = np.ones(frequencies.size, dtype=bool)
+            freqs = frequencies
+
+        oned, imat = model.extract_1d(
+            **_get_points(method, src, rec), **lopts)
+
+        map2cond = oned.map.backward
+        cond_h = map2cond(oned.property_x[0, 0, :])
+        cond_v = None if not vti else map2cond(oned.property_z[0, 0, :])
+
+        fwd_inp = {
+            'src': src,
+            'rec': rec,
+            'depth': oned.grid.nodes_z[1:-1],
+            'freqs': freqs,
+        }
+
+        if gradient:
+            obs = np.asarray(observed[i])[fi]
+            wgt = np.asarray(weights[i])[fi]
+            res = np.asarray(residual[i])[fi]
+            misfit = np.sum(wgt * (res.conj() * res)).real / 2
+
+            out[0, ...] += _fd_gradient(cond_h, cond_v, obs, wgt, misfit,
+                                        fwd_inp, imat, vertical=False)
+            if vti:
+                out[2, ...] += _fd_gradient(cond_h, cond_v, obs, wgt,
+                                            misfit, fwd_inp, imat,
+                                            vertical=True)
+        else:
+            out[i, fi] = _layered_fwd(cond_h, cond_v, fwd_inp)
+
+    return out
+
+
+def _layered_fwd(cond_h, cond_v, fwd_inp):
+    """Responses of one src-rec pair over frequencies (native engine)."""
+    import numpy as np
+    from emg3d_tpu import layered as _layered
+
+    src = fwd_inp['src']
+    rec = fwd_inp['rec']
+    aniso = None if cond_v is None else np.sqrt(cond_h / cond_v)
+
+    src_pt = (*src.center, src.azimuth, src.elevation)
+    rec_pt = np.atleast_2d([*rec.center, rec.azimuth, rec.elevation])
+    rec_type = rec.xtype
+
+    out = np.empty(len(fwd_inp['freqs']), dtype=np.complex128)
+    for i, freq in enumerate(fwd_inp['freqs']):
+        resp = _layered.dipole_layered(
+            src_pt, rec_pt, fwd_inp['depth'], 1.0 / cond_h, freq,
+            aniso=aniso, rec_type=rec_type)
+        out[i] = resp[0] * src.strength
+    return out
+
+
+def _get_points(method, src, rec):
+    """Method/p0/p1 for Model.extract_1d (ref _multiprocessing.py:356)."""
+    p0 = src.center[:2]
+    p1 = rec.center[:2]
+    if method == 'source':
+        p1 = p0
+        method = 'midpoint'
+    elif method == 'receiver':
+        p0 = p1
+        method = 'midpoint'
+    return {'method': method, 'p0': p0, 'p1': p1}
+
+
+def _fd_gradient(cond_h, cond_v, data, weight, misfit, fwd_inp, imat,
+                 vertical):
+    """Layer-wise finite-difference gradient (0.01 % perturbation).
+
+    Reference: emg3d/_multiprocessing.py:395-463.
+    """
+    import numpy as np
+
+    rel_diff = 0.0001
+    grad = np.zeros(cond_h.size)
+    for iz in range(cond_h.size):
+        cond_p = cond_h.copy() if not vertical else cond_v.copy()
+        delta = cond_p[iz] * rel_diff
+        cond_p[iz] += delta
+
+        if vertical:
+            response = _layered_fwd(cond_h, cond_p, fwd_inp)
+        else:
+            response = _layered_fwd(cond_p, cond_v, fwd_inp)
+
+        residual = response - data
+        fd_misfit = np.sum(weight * (residual.conj() * residual)).real / 2
+        grad[iz] = (fd_misfit - misfit) / delta
+
+    return imat[..., None] * grad[None, :]

@@ -541,14 +541,49 @@ class Simulation:
         self.print_solver_info('efield', verb=self.verb)
 
     def _compute_1d(self, gradient=False):
-        """Layered (1-D) modelling — requires a 1-D engine (empymod).
+        """Layered (1-D) modelling via the native engine.
 
-        The reference delegates to empymod.bipole
-        (simulations.py:882-941); not available in this build.
+        Mirror of reference simulations.py:882-941, with the bundled
+        transmission-line/Hankel-DLF engine (emg3d_tpu.layered)
+        replacing empymod.
         """
-        raise NotImplementedError(
-            "Layered (1-D) computation requires the 1-D engine; "
-            "not available in emg3d_tpu yet.")
+        has_data = np.isfinite(
+            np.asarray(self.data.observed)).sum() > 0
+
+        def collect_layered_inputs(source):
+            isrc = list(self.survey.sources).index(source)
+            data = {
+                'model': self.model,
+                'src': self.survey.sources[source],
+                'receivers': self.survey.receivers,
+                'frequencies': self.survey.frequencies,
+                'observed': None,
+                'layered_opts': self.layered_opts,
+                'gradient': gradient,
+            }
+            if has_data:
+                data['observed'] = np.asarray(
+                    self.data.observed)[isrc]
+            if gradient:
+                data['residual'] = np.asarray(
+                    self.data.residual)[isrc]
+                data['weights'] = np.asarray(self.data.weights)[isrc]
+            return data
+
+        out = _tasks.process_map(
+            _tasks.layered,
+            list(map(collect_layered_inputs, self.survey.sources.keys())),
+            max_workers=self.max_workers,
+            **{'desc': 'Compute layered', **self._tqdm_opts})
+
+        if gradient:
+            grad = np.zeros((3, *self.model.grid.shape_cells), order='F')
+            for val in out:
+                grad += val
+            return grad
+
+        for i, src in enumerate(self.survey.sources.keys()):
+            self.data['synthetic'].loc[src, :, :] = out[i]
 
     # ----------------------------------------------------------------------
     # Optimization: misfit, gradient, jvec, jtvec.
@@ -941,6 +976,51 @@ class Simulation:
         self.model = model
 
     def _set_layered_opts(self, layered, layered_opts):
-        """Store layered settings (1-D engine not bundled)."""
+        """Set self.layered / self.layered_opts (simulations.py:1678).
+
+        Defaults the extraction method to 'cylinder' with a
+        one-skin-depth radius (at the lowest survey frequency and the
+        minimum bottom-boundary conductivity).
+        """
         self.layered = bool(layered)
-        self.layered_opts = dict(layered_opts or {})
+
+        if not self.layered:
+            self.layered_opts = dict(layered_opts or {})
+            return
+
+        for sr in (list(self.survey.sources.values())
+                   + list(self.survey.receivers.values())):
+            name = sr.__class__.__name__
+            if 'Point' not in name and 'Dipole' not in name:
+                raise ValueError(
+                    "Layered: Only Points and Dipoles supported, "
+                    f"provided: {sr}!")
+
+        if self.model.case not in ['isotropic', 'VTI']:
+            raise NotImplementedError(
+                f"Layered compute not implemented for "
+                f"{self.model.case} case.")
+
+        layered_opts = deepcopy(dict(layered_opts or {}))
+        layered_opts['method'] = layered_opts.get('method', 'cylinder')
+
+        if layered_opts['method'] in ['prism', 'cylinder']:
+            ellipse = layered_opts.get('ellipse', {})
+            if ellipse.get('radius') is None:
+                try:
+                    prop = np.atleast_1d(
+                        self.gridding_opts['properties'])
+                    m = getattr(
+                        maps, 'Map' + self.gridding_opts['mapping'])()
+                    ind = -1 if prop.size < 3 else -2
+                    cond = m.backward(prop[ind])
+                except (KeyError, TypeError):
+                    zneg = self.model.property_x[:, :, 0]
+                    cond = np.min(self.model.map.backward(zneg))
+                freq = min(self.survey.frequencies.values())
+                ellipse['radius'] = meshes.skin_depth(freq, cond)
+            ellipse['factor'] = ellipse.get('factor', 1.2)
+            ellipse['minor'] = ellipse.get('minor', 0.8)
+            layered_opts['ellipse'] = ellipse
+
+        self.layered_opts = layered_opts

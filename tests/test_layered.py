@@ -1,0 +1,137 @@
+"""Tests for the native layered-earth engine (emg3d_tpu.layered).
+
+Validation ladder:
+1. Uniform medium == analytic fullspace (pins primary + conventions).
+2. Electromagnetic reciprocity in a reflecting layered medium — a
+   strong, non-circular check of the reflection/transmission-line
+   machinery (swapped source/receiver exercise different kernel paths).
+3. Cross-check against the 3-D multigrid solver on a two-halfspace
+   model (the reference validates against empymod the same way,
+   test_fields.py:408-438; here the roles are reversed).
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import alternatives
+from emg3d_tpu import layered
+
+
+class TestFullspace:
+
+    def test_uniform_equals_fullspace(self):
+        src = (0., 0., 0., 30., 0.)
+        pts = np.array([[800., 100., -150.], [300., -500., 250.]])
+        e, h = layered.fields_layered(
+            src, pts, depth=[], res_h=[2.0], frequency=0.7)
+        exact = alternatives.fullspace_dipole(
+            pts, (0., 0., 0.), 0.7, 2.0, azimuth=30.)
+        assert_allclose(e, exact, rtol=1e-6)
+
+    def test_uniform_multilayer_equals_fullspace(self):
+        """Interfaces with zero contrast: reflections vanish."""
+        src = (0., 0., -500., 0., 0.)
+        pts = np.array([[900., 200., -400.]])
+        e1, h1 = layered.fields_layered(
+            src, pts, depth=[], res_h=[1.0], frequency=1.0)
+        # Same-layer constraint: interfaces away from src/rec layer.
+        e2, h2 = layered.fields_layered(
+            src, pts, depth=[-1000., 0.], res_h=[1.0, 1.0, 1.0],
+            frequency=1.0)
+        assert_allclose(e2, e1, rtol=1e-10)
+        assert_allclose(h2, h1, rtol=1e-10)
+
+
+class TestReflections:
+
+    # Marine-ish configuration: sediment below 0, water above.
+    depth = [0.]
+    res = [1.0, 0.3]       # bottom (sediment), top (water)
+    freq = 10.0
+
+    def test_reciprocity(self):
+        """E_x(r_b; src_a x-dir) == E_x(r_a; src_b x-dir).
+
+        Both dipoles horizontal x-directed, different positions in the
+        water layer: the Green tensor symmetry G_xx(a,b) = G_xx(b,a)
+        must hold including all reflections.
+        """
+        a = np.array([0., 0., 60.])
+        b = np.array([230., 140., 35.])
+
+        e_ab, _ = layered.fields_layered(
+            (*a, 0., 0.), b[None], self.depth, self.res, self.freq)
+        e_ba, _ = layered.fields_layered(
+            (*b, 0., 0.), a[None], self.depth, self.res, self.freq)
+        assert_allclose(e_ab[0, 0], e_ba[0, 0], rtol=1e-8)
+
+        # Cross-component: G_xy(a,b) = G_yx(b,a).
+        e_ba_y, _ = layered.fields_layered(
+            (*b, 90., 0.), a[None], self.depth, self.res, self.freq)
+        assert_allclose(e_ab[0, 1], e_ba_y[0, 0], rtol=1e-8)
+
+    def test_reflection_sensitivity(self):
+        """Responses differ from the uniform fullspace (sanity)."""
+        src = (0., 0., 60., 0., 0.)
+        pts = np.array([[200., 0., 60.]])
+        e_lay, _ = layered.fields_layered(
+            src, pts, self.depth, self.res, self.freq)
+        e_full, _ = layered.fields_layered(
+            src, pts, [], [self.res[1]], self.freq)
+        ratio = abs(e_lay[0, 0] / e_full[0, 0])
+        assert abs(ratio - 1.0) > 0.05  # Interface clearly visible.
+
+    def test_vti_lower_halfspace(self):
+        """VTI in a non-source layer runs and differs from isotropic."""
+        src = (0., 0., 60., 0., 0.)
+        pts = np.array([[200., 0., 60.]])
+        e_iso, _ = layered.fields_layered(
+            src, pts, self.depth, self.res, self.freq)
+        e_vti, _ = layered.fields_layered(
+            src, pts, self.depth, self.res, self.freq,
+            aniso=[2.0, 1.0])
+        assert abs(e_vti[0, 0] / e_iso[0, 0] - 1.0) > 0.005
+
+    def test_same_layer_required(self):
+        with pytest.raises(NotImplementedError, match='same layer'):
+            layered.fields_layered(
+                (0., 0., 60., 0., 0.), np.array([[200., 0., -60.]]),
+                self.depth, self.res, self.freq)
+
+    def test_vertical_source_not_implemented(self):
+        with pytest.raises(NotImplementedError, match='ertical'):
+            layered.fields_layered(
+                (0., 0., 60., 0., 90.), np.array([[200., 0., 60.]]),
+                self.depth, self.res, self.freq)
+
+
+class TestVs3DSolver:
+
+    @pytest.mark.slow
+    def test_two_halfspace_vs_3d(self):
+        """1-D engine vs 3-D multigrid on a two-halfspace model."""
+        import emg3d_tpu as e3
+        from emg3d_tpu import meshes, models, solver, fields
+
+        freq = 10.0
+        h = np.ones(48) * 20.0
+        grid = meshes.TensorMesh([h, h, h], origin=(-480., -480., -480.))
+        res3d = np.ones(grid.shape_cells)
+        res3d[:, :, 24:] = 0.3          # water above z=0
+        model = models.Model(grid, property_x=res3d,
+                             mapping='Resistivity')
+
+        src = (0., 0., 50., 0., 0.)
+        efield = solver.solve_source(
+            model, src, freq, plain=True, tol=1e-6, verb=0)
+
+        rec_x = [150., 210., 270.]
+        rec = ([float(x) for x in rec_x], [30.] * 3, [50.] * 3, 0, 0)
+        resp3d = fields.get_receiver(efield, rec, method='cubic')
+
+        pts = np.array([[x, 30., 50.] for x in rec_x])
+        e1d, _ = layered.fields_layered(
+            src, pts, depth=[0.], res_h=[1.0, 0.3], frequency=freq)
+
+        assert_allclose(np.asarray(resp3d), e1d[:, 0], rtol=0.1)

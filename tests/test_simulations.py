@@ -384,3 +384,61 @@ class TestMapsAdjoints:
             ox=out[0], oy=out[1], oz=out[2])
         rhs = np.sum(v * np.real(out.sum(0)))
         np.testing.assert_allclose(lhs, rhs, rtol=1e-11)
+
+
+class TestLayered:
+    """Layered (1-D) mode with the native engine (ref simulations.py:882)."""
+
+    def make_sim(self, **kwargs):
+        h = np.ones(16) * 100.0
+        grid = meshes.TensorMesh([h, h, h], origin=(-800.,) * 3)
+        model = e3.Model(grid, property_x=1.0, mapping='Resistivity')
+        src = electrodes.TxElectricDipole((0., 0., 0., 0., 0.))
+        recs = [electrodes.RxElectricPoint((x, 60., 0., 0., 0.))
+                for x in [300., 400.]]
+        survey = surveys.Survey([src], recs, [1.0], relative_error=0.05)
+        sim = e3.Simulation(
+            survey=survey, model=model, gridding='same', layered=True,
+            tqdm_opts=False, receiver_interpolation='linear', **kwargs)
+        return sim
+
+    def test_forward_vs_analytical(self):
+        sim = self.make_sim()
+        assert sim.layered_opts['method'] == 'cylinder'
+        assert 'radius' in sim.layered_opts['ellipse']
+        sim.compute()
+        syn = np.asarray(sim.data.synthetic)
+
+        pts = np.array([[300., 60., 0.], [400., 60., 0.]])
+        exact = alternatives.fullspace_dipole(
+            pts, (0., 0., 0.), 1.0, 1.0)
+        # Uniform model: the layered engine is near-analytic.
+        np.testing.assert_allclose(syn[0, :, 0], exact[:, 0], rtol=1e-3)
+
+    def test_gradient_fd(self):
+        sim = self.make_sim()
+        sim.compute(observed=True, add_noise=False)
+        # Perturb observed so the misfit is non-zero.
+        sim.data['observed'] = sim.data.observed * 1.1
+        grad = sim.gradient
+        assert grad.shape == (16, 16, 16)
+        assert np.isfinite(grad).all()
+        assert np.abs(grad).max() > 0
+
+    def test_source_freq_combo_raises(self):
+        sim = self.make_sim()
+        with pytest.raises(NotImplementedError, match='layered'):
+            sim.compute(source='TxED-1', frequency='f-1')
+
+    def test_triaxial_raises(self):
+        h = np.ones(16) * 100.0
+        grid = meshes.TensorMesh([h, h, h], origin=(-800.,) * 3)
+        model = e3.Model(grid, property_x=1.0, property_y=2.0,
+                         property_z=3.0)
+        src = electrodes.TxElectricDipole((0., 0., 0., 0., 0.))
+        survey = surveys.Survey(
+            [src], [electrodes.RxElectricPoint((300., 0., 0., 0., 0.))],
+            [1.0], relative_error=0.05)
+        with pytest.raises(NotImplementedError, match='triaxial'):
+            e3.Simulation(survey=survey, model=model, gridding='same',
+                          layered=True, tqdm_opts=False)
