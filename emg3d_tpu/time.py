@@ -236,9 +236,14 @@ class Fourier:
         """
         inp_data = self.interpolate(fdata)
 
-        tdata = transforms.fourier_dlf(
-            inp_data, self.freq_required, self.time, signal=self.signal,
-            filt=self._filt)
+        if self._ft == 'fftlog':
+            tdata = transforms.fourier_fftlog(
+                inp_data, self.freq_required, self.time,
+                signal=self.signal)
+        else:
+            tdata = transforms.fourier_dlf(
+                inp_data, self.freq_required, self.time,
+                signal=self.signal, filt=self._filt)
 
         return np.squeeze(tdata)
 
@@ -246,19 +251,24 @@ class Fourier:
 
     def _check_time(self):
         """Compute required frequencies for the given times/ft/ftarg."""
-        if self._ft not in ('dlf', 'sin', 'cos'):
+        if self._ft not in ('dlf', 'sin', 'cos', 'fftlog'):
             raise ValueError(
-                f"ft must be 'dlf' ('sin'/'cos' aliases); got "
-                f"'{self._ft}'. (FFTLog is not implemented natively "
-                f"yet.)")
+                f"ft must be 'dlf' ('sin'/'cos' aliases) or 'fftlog'; "
+                f"got '{self._ft}'.")
 
-        self._filt = self._ftarg.get('dlf', None)
-        if self._filt is None or isinstance(self._filt, str):
-            self._filt = transforms.design_filter()
-        pts_per_dec = self._ftarg.get('pts_per_dec', -1)
-
-        self._freq_req = transforms.required_frequencies(
-            self._time, filt=self._filt, pts_per_dec=pts_per_dec)
+        if self._ft == 'fftlog':
+            self._filt = None
+            self._freq_req = transforms.required_frequencies_fftlog(
+                self._time,
+                pts_per_dec=self._ftarg.get('pts_per_dec', 10),
+                add_dec=tuple(self._ftarg.get('add_dec', (-4, 2))))
+        else:
+            self._filt = self._ftarg.get('dlf', None)
+            if self._filt is None or isinstance(self._filt, str):
+                self._filt = transforms.design_filter()
+            pts_per_dec = self._ftarg.get('pts_per_dec', -1)
+            self._freq_req = transforms.required_frequencies(
+                self._time, filt=self._filt, pts_per_dec=pts_per_dec)
 
         if self.verb > 2:
             self._print_freq_calc()

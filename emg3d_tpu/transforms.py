@@ -38,7 +38,8 @@ import numpy as np
 import scipy as sp
 
 __all__ = ['DigitalFilter', 'design_filter', 'design_hankel_filter',
-           'fourier_dlf', 'required_frequencies']
+           'fourier_dlf', 'fourier_fftlog', 'required_frequencies',
+           'required_frequencies_fftlog']
 
 
 class DigitalFilter:
@@ -263,6 +264,80 @@ def required_frequencies(time, filt=None, pts_per_dec=-1):
 
     nf = int(np.ceil(np.log(fmax / fmin) / dlog)) + 1
     return fmin * np.exp(np.arange(nf) * dlog)
+
+
+def required_frequencies_fftlog(time, pts_per_dec=10, add_dec=(-4, 2)):
+    """Log-spaced frequencies for the FFTLog transform.
+
+    Mirrors the role of the reference's fftlog ftarg (time.py:106-111):
+    sampling at ``pts_per_dec`` per decade, extended by ``add_dec``
+    decades beyond the reciprocal time range (the generous default
+    padding suppresses the periodic wrap-around of the FFTLog).
+    """
+    time = np.atleast_1d(time)
+    lmin = np.log10(1 / (2 * np.pi * time.max())) + add_dec[0]
+    lmax = np.log10(1 / (2 * np.pi * time.min())) + add_dec[1]
+    n = int(np.ceil((lmax - lmin) * pts_per_dec)) + 1
+    return np.logspace(lmin, lmax, n)
+
+
+def fourier_fftlog(fdata, freq, time, signal=0):
+    """Frequency → time via FFTLog (Hamilton 2000, scipy.fft.fht).
+
+    ``fdata`` must be sampled exactly at the log-spaced ``freq`` grid
+    (from :func:`required_frequencies_fftlog`).  The sine/cosine
+    transforms are the μ = ±1/2 Hankel transforms:
+    sin(x) = √(πx/2)·J_{1/2}(x).  Outputs are computed on the FFTLog
+    reciprocal time grid and splined onto the requested times.
+    """
+    from scipy import fft as sfft
+    from scipy import interpolate as sint
+
+    time = np.atleast_1d(time)
+    freq = np.asarray(freq)
+    fdata = np.asarray(fdata)
+
+    omega = 2 * np.pi * freq
+    dln = np.log(omega[1] / omega[0])
+    n = omega.size
+    lnwc = np.log(omega).mean()   # log of the central ω
+
+    def hankel(values, mu, bias):
+        """∫ a(ω) J_mu(ω t) ω dω on the reciprocal log grid.
+
+        scipy.fft.fht computes A(t) = ∫ a(ω) J_μ(tω) t dω, so the
+        ω-measure integral is fht(ω·a)/t; output grid t_c = e^{offset}/ω_c.
+        The power-law ``bias`` counteracts slowly-decaying integrand
+        tails (the 1/ω of the step responses).
+        """
+        offset = sfft.fhtoffset(dln, mu=mu, initial=0.0, bias=bias)
+        out = sfft.fht(omega * values, dln, mu=mu, offset=offset,
+                       bias=bias)
+        lntc = offset - lnwc
+        lnt = lntc + (np.arange(n) - (n - 1) / 2) * dln
+        tg = np.exp(lnt)
+        return tg, out / tg
+
+    if signal == 0:      # Impulse: -2/π ∫ Im(H) sin(ωt) dω.
+        kern = fdata.imag
+        mu, fac, pw, bias = 0.5, -2.0 / np.pi, 0.0, 0.0
+    elif signal == 1:    # Switch-on: +2/π ∫ Re(H)/ω sin(ωt) dω.
+        kern = fdata.real
+        mu, fac, pw, bias = 0.5, 2.0 / np.pi, -1.0, -0.5
+    elif signal == -1:   # Switch-off: -2/π ∫ Im(H)/ω cos(ωt) dω.
+        kern = fdata.imag
+        mu, fac, pw, bias = -0.5, -2.0 / np.pi, -1.0, 0.0
+    else:
+        raise ValueError(f"signal must be -1, 0, or 1; got {signal}.")
+
+    # {sin,cos}(ωt) = √(π ω t/2) J_{±1/2}(ω t):
+    # ∫ K(ω) trig(ωt) dω = √(π t/2) ∫ [K ω^{-1/2}] J_μ(ωt) ω dω.
+    a = kern * omega ** (pw - 0.5)
+    tg, h = hankel(a, mu, bias)
+    vals = fac * np.sqrt(np.pi * tg / 2) * h
+
+    spl = sint.InterpolatedUnivariateSpline(np.log(tg), vals, k=3, ext=3)
+    return spl(np.log(time))
 
 
 def fourier_dlf(fdata, freq, time, signal=0, filt=None):

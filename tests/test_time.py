@@ -179,9 +179,43 @@ class TestFourierClass:
         f.input_freq = np.array([0.5])
         assert f.every_x_freq is None
 
-    def test_fftlog_not_implemented(self):
-        with pytest.raises(ValueError, match='FFTLog'):
-            Fourier(self.time, 0.01, 10, ft='fftlog', verb=0)
+    def test_bad_ft(self):
+        with pytest.raises(ValueError, match='fftlog'):
+            Fourier(self.time, 0.01, 10, ft='nonsense', verb=0)
+
+
+class TestFFTLog:
+    """FFTLog transform (scipy.fft.fht) on the e^{-t} pair and the
+    transient fullspace."""
+
+    time = np.logspace(-1.2, 0.8, 12)
+
+    @pytest.mark.parametrize('signal', [0, 1, -1])
+    def test_exponential_pair(self, signal):
+        freq = transforms.required_frequencies_fftlog(self.time)
+        omega = 2 * np.pi * freq
+        fdata = 1.0 / (1 + 1j * omega)
+        out = transforms.fourier_fftlog(fdata, freq, self.time,
+                                        signal=signal)
+        exact = (1 - np.exp(-self.time) if signal == 1
+                 else np.exp(-self.time))
+        assert_allclose(out, exact, rtol=2e-3, atol=1e-4)
+
+    def test_fourier_class_fftlog(self):
+        t = np.logspace(-2.5, 0.0, 10)
+        off = 900.0
+        pts = np.array([[off, 0., 0.]])
+        fourier = Fourier(time=t, fmin=1e-4, fmax=1e3, signal=1,
+                          ft='fftlog', verb=0)
+        fdata = np.array([
+            alternatives.fullspace_dipole(
+                pts, (0., 0., 0.), f, 1.0)[0, 0]
+            for f in fourier.freq_compute])
+        tdata = fourier.freq2time(fdata, off)
+        exact = alternatives.fullspace_dipole_time(
+            pts, (0., 0., 0.), t, 1.0, signal=1)[:, 0, 0]
+        assert_allclose(tdata, exact, rtol=3e-2,
+                        atol=3e-2 * np.abs(exact).max())
 
 
 class TestHankelFilter:
