@@ -88,4 +88,14 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as exc:  # Always emit one valid JSON line.
+        print(json.dumps({
+            "metric": f"fullspace_{N}c_solve_to_1e-6",
+            "value": -1.0,
+            "unit": "s",
+            "vs_baseline": 0.0,
+            "error": f"{type(exc).__name__}: {exc}"[:300],
+        }))
+        sys.exit(1)
