@@ -39,7 +39,7 @@ def __dir__():
     return __all__
 
 
-def _tl_voltage_current(lam, gam, z_tl, za, zb, ra, rb, zr, zs):
+def _tl_voltage_current(gam, za, zb, ra, rb, zr, zs):
     """SECONDARY transmission-line Green's functions within one layer.
 
     Unit shunt-current source at ``zs``; observation at ``zr`` (both in
@@ -271,8 +271,7 @@ def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
             if not np.isfinite(zb):
                 rb = np.zeros_like(rb)
             v_raw, dv_raw = _tl_voltage_current(
-                l_, gam[ilay], None, za_eff, zb_eff, ra, rb,
-                zr[irec], zs)
+                gam[ilay], za_eff, zb_eff, ra, rb, zr[irec], zs)
             # V_i = (Z/2)·v_raw;  dV/dzr = (Z/2)Γ·dv_raw;
             # I_i = -(1/(ΓZ)) dV/dzr = -dv_raw/2.
             mode_data[mode] = {
