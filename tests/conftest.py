@@ -20,10 +20,35 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import pytest  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# XLA:CPU JIT'd executables consume memory mappings; a full single-
+# process suite run exceeds vm.max_map_count (65530) and LLVM then
+# SEGFAULTS inside backend_compile_and_load.  Drop the executable caches
+# whenever the process approaches the limit (costs re-compiles in later
+# modules, but keeps the process alive).
+_MAPS_LIMIT = 30000  # each big smoother executable ≈ 1400 maps
+
+
+def _n_maps():
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _jit_map_guard():
+    yield
+    if _n_maps() > _MAPS_LIMIT:
+        jax.clear_caches()
 
 # NOTE: do NOT enable the persistent compilation cache here.  jax 0.9 /
 # XLA:CPU segfaults intermittently when (de)serializing executables
