@@ -145,3 +145,30 @@ def test_mgparameters_validation():
     var = solver.MGParameters(verb=0, sslsolver=False, semicoarsening=123,
                               linerelaxation=456, shape_cells=(8, 8, 8))
     assert var.sc_cycle and var.lr_cycle
+
+
+@pytest.mark.parametrize("sslsolver", ["cgs", "gcrotmk"])
+def test_scipy_krylov_variants(sslsolver):
+    """cgs/gcrotmk run through the scipy fallback (solver.py krylov)."""
+    import numpy as np
+    from emg3d_tpu import fields, meshes, models, solver
+    grid = meshes.TensorMesh([np.ones(16) * 50.0] * 3, origin=[-400.0] * 3)
+    model = models.Model(grid, property_x=1.0)
+    sfield = fields.get_source_field(grid, (0, 0, 0, 0, 0), 1.0)
+    efield, info = solver.solve(
+        model, sfield, sslsolver=sslsolver, semicoarsening=False,
+        linerelaxation=False, cycle='F', tol=1e-5, return_info=True,
+        verb=0)
+    assert info['exit_message'] == 'CONVERGED'
+    assert info['it_ssl'] >= 1
+    assert np.all(np.isfinite(efield.field))
+
+
+def test_invalid_sslsolver():
+    import numpy as np
+    from emg3d_tpu import fields, meshes, models, solver
+    grid = meshes.TensorMesh([np.ones(16) * 50.0] * 3, origin=[-400.0] * 3)
+    model = models.Model(grid, property_x=1.0)
+    sfield = fields.get_source_field(grid, (0, 0, 0, 0, 0), 1.0)
+    with pytest.raises(ValueError, match="sslsolver"):
+        solver.solve(model, sfield, sslsolver='nonsense', verb=0)
