@@ -442,3 +442,56 @@ class TestLayered:
         with pytest.raises(NotImplementedError, match='triaxial'):
             e3.Simulation(survey=survey, model=model, gridding='same',
                           layered=True, tqdm_opts=False)
+
+
+class TestAutoGridding:
+    """Gridding modes with automatic mesh construction (no solves)."""
+
+    def make(self, gridding, **gopts):
+        h = np.ones(16) * 200.0
+        grid = meshes.TensorMesh([h, h, h], origin=(-1600.,) * 3)
+        model = e3.Model(grid, property_x=1.0, mapping='Resistivity')
+        sources = [electrodes.TxElectricDipole((x, 0., -200., 0., 0.))
+                   for x in [-300., 300.]]
+        recs = [electrodes.RxElectricPoint((x, 0., -250., 0., 0.))
+                for x in [600., 900.]]
+        survey = surveys.Survey(sources, recs, [0.5, 2.0],
+                                relative_error=0.05)
+        return e3.Simulation(
+            survey=survey, model=model, gridding=gridding,
+            gridding_opts=gopts, tqdm_opts=False,
+            solver_opts={'plain': True, 'verb': 0})
+
+    def test_single(self):
+        sim = self.make('single')
+        g1 = sim.get_grid('TxED-1', 'f-1')
+        g2 = sim.get_grid('TxED-2', 'f-2')
+        assert g1 is g2  # One grid for everything.
+        good = meshes.good_mg_cell_nr()
+        assert all(n in good for n in g1.shape_cells)
+        # Model interpolates onto it.
+        m = sim.get_model('TxED-1', 'f-1')
+        assert m.shape == g1.shape_cells
+
+    def test_frequency(self):
+        sim = self.make('frequency')
+        g_lo = sim.get_grid('TxED-1', 'f-1')
+        g_hi = sim.get_grid('TxED-1', 'f-2')
+        assert g_lo is sim.get_grid('TxED-2', 'f-1')  # shared per freq
+        assert g_lo is not g_hi
+        # Lower frequency -> larger skin depth -> larger extent.
+        ext_lo = g_lo.nodes_x[-1] - g_lo.nodes_x[0]
+        ext_hi = g_hi.nodes_x[-1] - g_hi.nodes_x[0]
+        assert ext_lo > ext_hi
+
+    def test_source(self):
+        sim = self.make('source')
+        g1 = sim.get_grid('TxED-1', 'f-1')
+        assert g1 is sim.get_grid('TxED-1', 'f-2')
+        assert g1 is not sim.get_grid('TxED-2', 'f-1')
+
+    def test_both(self):
+        sim = self.make('both')
+        grids = {sim.get_grid(s, f) for s in ('TxED-1', 'TxED-2')
+                 for f in ('f-1', 'f-2')}
+        assert len(grids) == 4
