@@ -1,0 +1,167 @@
+"""Remote-accelerator health probing and failure-window retries.
+
+Tunneled TPU backends (device servers reached over a network link)
+exhibit *failure windows*: multi-minute periods during which some
+device-service RPCs fail with ``UNIMPLEMENTED``/``UNAVAILABLE`` while
+the service is otherwise up.  Empirically (measured on the axon
+tunnel):
+
+- device *compute* keeps succeeding during a window (enqueue + execute
+  of compiled programs, including complex arithmetic);
+- device-to-host *transfers* (literal reads: ``float(x)``,
+  ``np.asarray(x)``) fail for the whole window, then recover;
+- device arrays and loaded executables survive the window intact;
+- in-process "resets" (``jax.clear_caches``,
+  ``jax.extend.backend.clear_backends``) do NOT shorten the window, and
+  fresh processes started inside a window are born failing — the only
+  winning move is to wait.
+
+The reference (emsig/emg3d) runs on local CPUs and never faces this;
+it has no analogous subsystem.  Everything here is therefore TPU-native
+infrastructure: a cheap health probe, a bounded wait-until-healthy
+loop, and a retry wrapper used by every host-driven device loop in
+:mod:`emg3d_tpu.solver` (the per-cycle residual-norm sync is a
+device-to-host read and is exactly what a window breaks mid-solve).
+
+Environment knobs:
+
+- ``EMG3D_TPU_MAX_WAIT`` (seconds, default 2700): total time a single
+  device step may spend waiting out failure windows before the error
+  is re-raised.
+- ``EMG3D_TPU_PROBE_INTERVAL`` (seconds, default 20): health-probe
+  cadence while waiting.
+"""
+
+import os
+import time
+import warnings
+
+import numpy as np
+
+__all__ = [
+    "is_transient", "probe", "wait_healthy", "retry_transient",
+    "HealthError",
+]
+
+
+def __dir__():
+    return __all__
+
+
+_TRANSIENT_MARKERS = (
+    "UNIMPLEMENTED", "INTERNAL", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+    "ABORTED", "UNKNOWN: ",
+)
+
+
+class HealthError(RuntimeError):
+    """The backend did not recover within the wait budget."""
+
+
+def is_transient(exc):
+    """Whether ``exc`` looks like a recoverable backend-service failure."""
+    msg = str(exc)
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
+def probe():
+    """Cheap end-to-end health check: compute + device-to-host read.
+
+    Covers the two RPC classes that fail independently during windows.
+    Returns True iff a tiny complex reduction executes AND its value
+    reads back correctly.
+    """
+    import jax.numpy as jnp
+
+    try:
+        x = jnp.arange(8.0) + 1j
+        val = complex(jnp.sum(x * x))           # execute + D2H literal
+        ref = complex(np.sum((np.arange(8.0) + 1j) ** 2))
+        return abs(val - ref) < 1e-3
+    except Exception:
+        return False
+
+
+def _max_wait():
+    return float(os.environ.get("EMG3D_TPU_MAX_WAIT", "2700"))
+
+
+def _interval():
+    return float(os.environ.get("EMG3D_TPU_PROBE_INTERVAL", "20"))
+
+
+def wait_healthy(what="device step", budget=None):
+    """Block until :func:`probe` passes; return seconds waited.
+
+    Raises :class:`HealthError` if the backend stays unhealthy for the
+    whole budget (default ``EMG3D_TPU_MAX_WAIT``).
+    """
+    budget = _max_wait() if budget is None else budget
+    interval = _interval()
+    t0 = time.monotonic()
+    warned = False
+    while True:
+        if probe():
+            waited = time.monotonic() - t0
+            if warned:
+                warnings.warn(
+                    f"emg3d-tpu: backend healthy again after "
+                    f"{waited:.0f}s ({what}).", RuntimeWarning)
+            return waited
+        waited = time.monotonic() - t0
+        if waited >= budget:
+            raise HealthError(
+                f"backend unhealthy for {waited:.0f}s (> {budget:.0f}s "
+                f"budget) during {what}")
+        if not warned:
+            warnings.warn(
+                f"emg3d-tpu: backend failure window detected during "
+                f"{what}; waiting it out (probe every {interval:.0f}s, "
+                f"budget {budget:.0f}s).", RuntimeWarning)
+            warned = True
+        time.sleep(interval)
+
+
+def retry_transient(thunk, what="device step", rebuild=None):
+    """Run ``thunk()``; wait out backend failure windows and retry.
+
+    The thunk must synchronize its result (``float``/``np.asarray``/
+    ``block_until_ready``) so asynchronous failures surface inside it.
+
+    On a transient failure the backend is probed until healthy (device
+    state survives windows, so the thunk's captured device arrays stay
+    valid), then the thunk is retried.  If it fails again immediately
+    after a healthy probe — state lost, e.g. an actual service restart
+    — ``rebuild()`` is called (when given) to re-upload state from
+    host-side sources before one final attempt.
+    """
+    budget = _max_wait()
+    t0 = time.monotonic()
+    rebuilt = False
+    while True:
+        try:
+            return thunk()
+        except Exception as exc:
+            if not is_transient(exc):
+                raise
+            remaining = budget - (time.monotonic() - t0)
+            if remaining <= 0:
+                raise
+            try:
+                wait_healthy(what, budget=remaining)
+            except HealthError:
+                raise exc from None
+            # Healthy again: either plain-retry, or rebuild once if a
+            # healthy retry already failed (dead device state).
+            try:
+                return thunk()
+            except Exception as exc2:
+                if not is_transient(exc2):
+                    raise
+                if rebuild is not None and not rebuilt:
+                    rebuilt = True
+                    import jax
+
+                    jax.clear_caches()
+                    rebuild()
+                # loop: next iteration waits again / retries

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy as sp
 
-from emg3d_tpu import config, fields, meshes, models, utils
+from emg3d_tpu import backend, config, fields, meshes, models, utils
 from emg3d_tpu.ops import df64, operator, smoothers, transfer
 
 __all__ = ['solve', 'solve_source', 'multigrid', 'krylov', 'smoothing',
@@ -606,47 +606,15 @@ class _ConvergenceError(Exception):
 # --------------------------------------------------------------------------
 # Transient-backend-failure retries.
 #
-# Remote TPU backends (tunneled device servers) intermittently fail
-# program execution with UNIMPLEMENTED/INTERNAL in a sticky window of
-# minutes, while the same program passes before and after.  All solver
-# device work is (re)computable from host-held references, so the
-# host-driven loops retry their device step from the last good state
-# after clearing the executable caches (forcing a fresh compile, which
-# may be routed to a healthy backend path).
+# Remote TPU backends (tunneled device servers) have multi-minute
+# failure windows during which device-to-host reads fail while compute
+# and device state survive (measured; see emg3d_tpu.backend).  Every
+# host-driven loop below syncs at least a residual norm per cycle, so
+# each device step is wrapped in backend.retry_transient, which waits
+# the window out and resumes from the (still valid) device state.
 # --------------------------------------------------------------------------
 
-_TRANSIENT_WAITS = (0.0, 5.0, 15.0, 45.0, 90.0)
-
-
-def _is_transient(exc):
-    msg = str(exc)
-    return ('UNIMPLEMENTED' in msg or 'INTERNAL' in msg
-            or 'UNAVAILABLE' in msg or 'DEADLINE_EXCEEDED' in msg)
-
-
-def _retry_transient(thunk, what="device step"):
-    """Run thunk(); retry transient backend failures with cache clears.
-
-    The thunk must synchronize its result (float()/np.asarray/
-    block_until_ready) so asynchronous failures surface inside it.
-    """
-    import time as _time
-
-    for attempt, wait in enumerate(_TRANSIENT_WAITS):
-        try:
-            return thunk()
-        except Exception as exc:  # jax.errors.JaxRuntimeError et al.
-            if not _is_transient(exc) or attempt == len(
-                    _TRANSIENT_WAITS) - 1:
-                raise
-            import warnings
-            warnings.warn(
-                f"emg3d-tpu: transient backend failure in {what} "
-                f"(attempt {attempt + 1}); clearing caches and "
-                f"retrying in {wait:.0f}s.", RuntimeWarning)
-            jax.clear_caches()
-            if wait:
-                _time.sleep(wait)
+_retry_transient = backend.retry_transient
 
 
 def multigrid(model, sfield, efield, var, **kwargs):
