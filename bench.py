@@ -45,16 +45,19 @@ def run(model, sfield):
 
 
 def main():
+    # A process born with a bad backend channel never recovers (see
+    # emg3d_tpu.backend); roll a fresh process until healthy.
+    from emg3d_tpu import backend
+    backend.reexec_if_born_bad()
+
     model, sfield = make_problem(N)
 
     # Warm-up: compile all level kernels (cached for the timed run).
     # Retried at the job level too: remote TPU backends have transient
     # failure windows (see emg3d_tpu.backend).
-    from emg3d_tpu import backend
     last = None
     for attempt in range(3):
         try:
-            backend.wait_healthy("bench warm-up")
             info = run(model, sfield)
             break
         except Exception as exc:

@@ -23,6 +23,22 @@ loop, and a retry wrapper used by every host-driven device loop in
 :mod:`emg3d_tpu.solver` (the per-cycle residual-norm sync is a
 device-to-host read and is exactly what a window breaks mid-solve).
 
+Two distinct failure modes were measured, needing different remedies:
+
+1. *Born-bad processes*: the health of a process's device channel is
+   decided when it first connects — a process that starts unhealthy
+   never recovers (hours of probes, cache clears and
+   ``clear_backends`` re-dials never helped), while a process that
+   starts healthy has never been observed to degrade.  The fraction
+   of bad births varies over time (0/12 in one period, 11/12 in
+   another), consistent with a load-balanced backend pool with
+   changing membership of broken members.  Remedy: re-execute the
+   process (:func:`reexec_if_born_bad`) — each fresh process rolls a
+   new connection.
+2. *Service blips* inside a healthy process (rare): short transient
+   RPC failures.  Remedy: :func:`retry_transient` waits and retries
+   against the still-valid device state.
+
 Environment knobs:
 
 - ``EMG3D_TPU_MAX_WAIT`` (seconds, default 2700): total time a single
@@ -30,6 +46,8 @@ Environment knobs:
   is re-raised.
 - ``EMG3D_TPU_PROBE_INTERVAL`` (seconds, default 20): health-probe
   cadence while waiting.
+- ``EMG3D_TPU_REEXEC`` (default 20): maximum process re-executions
+  for :func:`reexec_if_born_bad`.
 """
 
 import os
@@ -40,8 +58,13 @@ import numpy as np
 
 __all__ = [
     "is_transient", "probe", "wait_healthy", "retry_transient",
-    "HealthError",
+    "reexec_if_born_bad", "HealthError",
 ]
+
+# Set to True by the first successful probe: distinguishes a service
+# blip inside a healthy process (wait-and-retry works) from a born-bad
+# process (only a process restart helps).
+_was_healthy = False
 
 
 def __dir__():
@@ -73,11 +96,14 @@ def probe():
     """
     import jax.numpy as jnp
 
+    global _was_healthy
     try:
         x = jnp.arange(8.0) + 1j
         val = complex(jnp.sum(x * x))           # execute + D2H literal
         ref = complex(np.sum((np.arange(8.0) + 1j) ** 2))
-        return abs(val - ref) < 1e-3
+        ok = abs(val - ref) < 1e-3
+        _was_healthy = _was_healthy or ok
+        return ok
     except Exception:
         return False
 
@@ -100,6 +126,7 @@ def wait_healthy(what="device step", budget=None):
     interval = _interval()
     t0 = time.monotonic()
     warned = False
+    fails = 0
     while True:
         if probe():
             waited = time.monotonic() - t0
@@ -108,7 +135,15 @@ def wait_healthy(what="device step", budget=None):
                     f"emg3d-tpu: backend healthy again after "
                     f"{waited:.0f}s ({what}).", RuntimeWarning)
             return waited
+        fails += 1
         waited = time.monotonic() - t0
+        if not _was_healthy and fails >= 3:
+            # Born-bad process: this channel will never recover;
+            # waiting further only burns the budget.
+            raise HealthError(
+                f"backend channel unhealthy since process start "
+                f"({fails} probes) during {what}; restart the process "
+                f"for a fresh connection (see backend.reexec_if_born_bad)")
         if waited >= budget:
             raise HealthError(
                 f"backend unhealthy for {waited:.0f}s (> {budget:.0f}s "
@@ -120,6 +155,40 @@ def wait_healthy(what="device step", budget=None):
                 f"budget {budget:.0f}s).", RuntimeWarning)
             warned = True
         time.sleep(interval)
+
+
+def reexec_if_born_bad(argv=None, sleep=15.0):
+    """Re-execute the current process until it starts healthy.
+
+    Call early in a TPU-driving script (before building device state).
+    If the first health probe fails, the process was born with a bad
+    backend channel — unrecoverable in-process — so the script is
+    re-executed via ``os.execv`` (a fresh process rolls a fresh
+    connection).  A counter in ``EMG3D_TPU_REEXEC_N`` bounds the
+    rebirths (limit ``EMG3D_TPU_REEXEC``, default 20); when exhausted,
+    raises :class:`HealthError`.
+
+    No-op (returns the attempt count) when the process is healthy or
+    when running on a local backend where :func:`probe` passes anyway.
+    """
+    import sys
+
+    n = int(os.environ.get("EMG3D_TPU_REEXEC_N", "0"))
+    limit = int(os.environ.get("EMG3D_TPU_REEXEC", "20"))
+    if probe() or probe():
+        return n
+    if n >= limit:
+        raise HealthError(
+            f"process born with an unhealthy backend channel {n} times "
+            f"in a row (limit {limit})")
+    warnings.warn(
+        f"emg3d-tpu: process born with an unhealthy backend channel "
+        f"(rebirth {n + 1}/{limit}); re-executing in {sleep:.0f}s.",
+        RuntimeWarning)
+    time.sleep(sleep)
+    os.environ["EMG3D_TPU_REEXEC_N"] = str(n + 1)
+    argv = list(sys.argv if argv is None else argv)
+    os.execv(sys.executable, [sys.executable] + argv)
 
 
 def retry_transient(thunk, what="device step", rebuild=None):

@@ -64,10 +64,19 @@ def solve(model, sfield, sslsolver=True, semicoarsening=True,
         linerelaxation = False if linerelaxation is True else linerelaxation
     efield = kwargs.pop('efield', None)
 
+    # Domain decomposition: a jax.sharding.Mesh (or a GridPlacement)
+    # shards the grid over devices; see emg3d_tpu.parallel.domain.
+    mesh = kwargs.pop('mesh', None)
+
     var = MGParameters(
         sslsolver=sslsolver, semicoarsening=semicoarsening,
         linerelaxation=linerelaxation, shape_cells=model.shape, verb=verb,
         **kwargs)
+
+    if mesh is not None:
+        from emg3d_tpu.parallel.domain import GridPlacement
+        var.placement = (mesh if isinstance(mesh, GridPlacement)
+                         else GridPlacement(mesh))
 
     var.cprint(f"\n:: emg3d-tpu START :: {var.time.now} ::\n", 2)
     var.cprint(var, 2)
@@ -263,13 +272,17 @@ def _coarsen_flags(c_sc_dir):
             c_sc_dir not in [3, 4, 5])
 
 
-def _build_hierarchy(vmodel, sc_dir, lr_dir, clevel_max):
+def _build_hierarchy(vmodel, sc_dir, lr_dir, clevel_max, placement=None):
     """Build per-level model/grid/transfer data for one sc_dir.
 
     Everything static (shapes, flags) goes into ``meta`` (hashable tuple);
     device arrays go into ``arrays`` (a pytree passed into the jitted
     cycle function).  Model restriction is the 2/4/8-cell sum of the
     reference (solver.py:1667-1718); weights per Muld06 Eq. 9.
+
+    ``placement`` (a parallel.domain.GridPlacement) shards each level's
+    arrays over a device mesh — fine levels grid-sharded, coarse levels
+    replicated; XLA inserts the halo exchanges in the level ops.
     """
     fdt = config.float_dtype()
     cdt = (config.complex_dtype()
@@ -324,6 +337,8 @@ def _build_hierarchy(vmodel, sc_dir, lr_dir, clevel_max):
 
         if level == clevel_max:
             meta.append(lvl_meta)
+            if placement is not None:
+                lvl_arrays = placement.place_level(lvl_arrays, shape)
             arrays.append(lvl_arrays)
             break
 
@@ -359,6 +374,8 @@ def _build_hierarchy(vmodel, sc_dir, lr_dir, clevel_max):
         lvl_arrays['pm'] = tuple(pm)
 
         meta.append(lvl_meta)
+        if placement is not None:
+            lvl_arrays = placement.place_level(lvl_arrays, shape)
         arrays.append(lvl_arrays)
 
         # Restrict model parameters (host numpy).
@@ -590,7 +607,8 @@ class _Hierarchies:
         if key not in self._cache:
             clevel_max = self.var.clevel[min(sc_dir, 3)]
             meta, arrays = _build_hierarchy(
-                self.vmodel, sc_dir, lr_dir, clevel_max)
+                self.vmodel, sc_dir, lr_dir, clevel_max,
+                placement=getattr(self.var, 'placement', None))
             self._cache[key] = (meta, arrays)
         return self._cache[key]
 
@@ -635,6 +653,9 @@ def multigrid(model, sfield, efield, var, **kwargs):
         e_hi = _field_to_dev(efield)
     else:
         s, e_hi = sfield, efield
+    if var.placement is not None:
+        s = var.placement.place_field(s, var.shape_cells)
+        e_hi = var.placement.place_field(e_hi, var.shape_cells)
     e_lo = tuple(jnp.zeros_like(c) for c in e_hi)
 
     meta, arrays = hier.get(var.sc_dir, var.lr_dir)
@@ -744,6 +765,8 @@ def krylov(model, sfield, efield, var):
     """
     hier = _Hierarchies(model, var)
     mdev = _vmodel_to_dev(model)
+    if var.placement is not None:
+        mdev = var.placement.place_level(mdev, var.shape_cells)
     grid = model.grid
     shape_x = grid.shape_edges_x
     shape_y = grid.shape_edges_y
@@ -823,6 +846,9 @@ def krylov(model, sfield, efield, var):
 
     s = _field_to_dev(sfield)
     e = _field_to_dev(efield)
+    if var.placement is not None:
+        s = var.placement.place_field(s, var.shape_cells)
+        e = var.placement.place_field(e, var.shape_cells)
 
     if var.sslsolver == 'bicgstab':
         try:
@@ -1150,6 +1176,7 @@ class MGParameters:
 
         self.exit_message = ''
         self.log_message = ''
+        self.placement = None   # GridPlacement for domain-decomposition
         self.time = utils.Timer()
         self.runtime_at_cycle = np.array([0.])
         self.error_at_cycle = np.array([0.])

@@ -93,6 +93,49 @@ def test_retry_transient_rebuild_called(monkeypatch):
     assert backend.retry_transient(thunk, "test", rebuild=rebuild) == "ok"
 
 
+def test_wait_healthy_born_bad_fast_path(monkeypatch):
+    """Never-healthy process: give up after 3 probes, not the budget."""
+    monkeypatch.setattr(backend, "probe", lambda: False)
+    monkeypatch.setattr(backend, "_was_healthy", False)
+    monkeypatch.setenv("EMG3D_TPU_PROBE_INTERVAL", "0.01")
+    import time
+    t0 = time.monotonic()
+    with pytest.warns(RuntimeWarning):
+        with pytest.raises(backend.HealthError, match="since process"):
+            backend.wait_healthy("test", budget=60.0)
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_wait_healthy_blip_waits_full_budget(monkeypatch):
+    """Previously-healthy process: keep waiting past 3 failed probes."""
+    calls = {"n": 0}
+
+    def fake_probe():
+        calls["n"] += 1
+        return calls["n"] >= 6
+
+    monkeypatch.setattr(backend, "probe", fake_probe)
+    monkeypatch.setattr(backend, "_was_healthy", True)
+    monkeypatch.setenv("EMG3D_TPU_PROBE_INTERVAL", "0.01")
+    with pytest.warns(RuntimeWarning):
+        backend.wait_healthy("test", budget=60.0)
+    assert calls["n"] == 6
+
+
+def test_reexec_counter_limit(monkeypatch):
+    monkeypatch.setattr(backend, "probe", lambda: False)
+    monkeypatch.setenv("EMG3D_TPU_REEXEC_N", "20")
+    monkeypatch.setenv("EMG3D_TPU_REEXEC", "20")
+    with pytest.raises(backend.HealthError, match="born"):
+        backend.reexec_if_born_bad()
+
+
+def test_reexec_noop_when_healthy(monkeypatch):
+    monkeypatch.setattr(backend, "probe", lambda: True)
+    monkeypatch.setenv("EMG3D_TPU_REEXEC_N", "3")
+    assert backend.reexec_if_born_bad() == 3
+
+
 def test_retry_transient_budget(monkeypatch):
     """Unrecoverable transient failure raises after the budget."""
     monkeypatch.setattr(backend, "probe", lambda: False)
