@@ -157,7 +157,7 @@ def wait_healthy(what="device step", budget=None):
         time.sleep(interval)
 
 
-def reexec_if_born_bad(argv=None, sleep=15.0):
+def reexec_if_born_bad(argv=None, sleep=None):
     """Re-execute the current process until it starts healthy.
 
     Call early in a TPU-driving script (before building device state).
@@ -165,22 +165,50 @@ def reexec_if_born_bad(argv=None, sleep=15.0):
     backend channel — unrecoverable in-process — so the script is
     re-executed via ``os.execv`` (a fresh process rolls a fresh
     connection).  A counter in ``EMG3D_TPU_REEXEC_N`` bounds the
-    rebirths (limit ``EMG3D_TPU_REEXEC``, default 20); when exhausted,
-    raises :class:`HealthError`.
+    rebirths (limit ``EMG3D_TPU_REEXEC``, default 40); when exhausted,
+    raises :class:`HealthError`.  The sleep before each rebirth
+    escalates (15 s → 5 min) because bad-birth periods can last hours.
 
     No-op (returns the attempt count) when the process is healthy or
     when running on a local backend where :func:`probe` passes anyway.
     """
+    import subprocess
     import sys
 
     n = int(os.environ.get("EMG3D_TPU_REEXEC_N", "0"))
-    limit = int(os.environ.get("EMG3D_TPU_REEXEC", "20"))
-    if probe() or probe():
+    limit = int(os.environ.get("EMG3D_TPU_REEXEC", "40"))
+
+    # Probe in a CHILD process with a hard timeout: a bad channel can
+    # HANG device RPCs indefinitely (not just fail them), and a hung
+    # in-process probe would block the rebirth loop forever.  The
+    # child's verdict predicts this process's health only before jax
+    # initializes a backend here, hence "call early".
+    def _probe_child():
+        # The child must probe the same platform as this process; a
+        # sitecustomize may pre-select a platform regardless of the
+        # inherited environment, so re-apply JAX_PLATFORMS via config.
+        code = ("import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
+                "_ = p and jax.config.update('jax_platforms', p); "
+                "from emg3d_tpu import backend; "
+                "import sys; sys.exit(0 if backend.probe() else 1)")
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", code], timeout=120,
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))),
+                capture_output=True)
+            return res.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    if _probe_child() and probe():
         return n
     if n >= limit:
         raise HealthError(
             f"process born with an unhealthy backend channel {n} times "
             f"in a row (limit {limit})")
+    if sleep is None:
+        sleep = min(15.0 * 1.35 ** n, 300.0)
     warnings.warn(
         f"emg3d-tpu: process born with an unhealthy backend channel "
         f"(rebirth {n + 1}/{limit}); re-executing in {sleep:.0f}s.",

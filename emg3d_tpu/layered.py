@@ -10,21 +10,39 @@ generalization) and the native Hankel-DLF filters
 - Each mode (TE/TM) in each layer is a 1-D transmission line with
   vertical wavenumber Γ and characteristic impedance Z:
 
-      TE:  Γ² = λ² + ζ η_h           Z = ζ / Γ
+      TE:  Γ² = λ² + ζ η_h            Z = ζ / Γ
       TM:  Γ² = (η_h/η_v) λ² + ζ η_h  Z = Γ / η_h
 
   with η = σ (+ iωε₀) per layer, ζ = iωμ₀, s = iω (the solver's
   convention, fields.py ``sval``).
-- Interface reflections are accumulated by the standard recursion from
-  the outermost halfspaces; in-layer multiples via the four-image sum
-  with denominator 1 − R_a R_b e^{-2Γd}.
+- A horizontal electric dipole excites both modes as a *shunt current*
+  TL source; a vertical electric dipole excites TM only as a *series
+  voltage* source of spectral amplitude λ/(2π η_v(zs)) (derived from
+  Maxwell's equations in the Hankel domain; validated against the
+  analytic fullspace solution).
+- In the source layer the up/down wave amplitudes follow from the two
+  boundary reflection conditions,
+      A = R_a (u + R_b E d)/D,   B = R_b (d + R_a E u)/D,
+      E = e^{-Γ d},  D = 1 − R_a R_b E²,
+  with (u, d) the up/down-going direct-wave values at the layer
+  boundaries (signed per source type).  Receivers in other layers are
+  reached by the interface-continuity walk
+      V(z_k) = V(z_{k-1}) e^{-Γ_k d_k} (1 + R̃_k)/(1 + R̃_k e^{-2Γ_k d_k}),
+  which transmits the total voltage across each passive layer.
 - The wavenumber → space transform is a J0/J1 digital linear filter.
 
-Source and receiver must lie in the SAME layer (the common marine-CSEM
-configuration; cross-layer transmission is future work).  Validation:
-a uniform "layered" model reproduces the analytical fullspace dipole
-solution (all conventions pinned); layered cases are cross-checked
-against the 3-D multigrid solver in tests/test_layered.py.
+For receivers in the source layer the direct (primary) term is excluded
+from the wavenumber kernels (it decays only algebraically in λ when
+zr ≈ zs) and the analytic space-domain fullspace field is added instead
+— this requires the source layer to be isotropic when receivers share
+it; every other layer, and the source layer for cross-layer receivers,
+may be VTI.
+
+Validation: a uniform "layered" model reproduces the analytical
+fullspace dipole solution for arbitrary source orientation and
+receivers in any layer (transmission bookkeeping); electromagnetic
+reciprocity (VED↔HED) holds across layers; layered cases are
+cross-checked against the 3-D multigrid solver in tests/test_layered.py.
 """
 
 import numpy as np
@@ -37,48 +55,6 @@ __all__ = ['dipole_layered', 'fields_layered']
 
 def __dir__():
     return __all__
-
-
-def _tl_voltage_current(gam, za, zb, ra, rb, zr, zs):
-    """SECONDARY transmission-line Green's functions within one layer.
-
-    Unit shunt-current source at ``zs``; observation at ``zr`` (both in
-    the layer [za, zb], z increasing downwards).  ``ra``/``rb`` are the
-    global reflection coefficients looking up at ``za`` / down at ``zb``
-    (already including all outer layers).
-
-    Returns the *reflected-only* (v, dv/(−Γ·sign pattern)) sums: the
-    direct term e^{-Γ|zr-zs|} is EXCLUDED — it diverges in λ at
-    zr == zs; callers add the analytic space-domain primary field of the
-    source layer instead (the standard direct-field split).
-
-    The direct term also appears multiplied by the multiple-reflection
-    denominator's expansion; consistency: the total in-layer response is
-      [t_dir + t_a + t_b + t_ab1 + t_ab2]/damp
-    and the primary corresponds to t_dir alone WITHOUT the 1/damp.  The
-    secondary therefore is total − t_dir = (t_a + t_b + t_ab1 + t_ab2
-    + t_dir·(1−damp))/damp.
-    """
-    d = zb - za
-    ex = np.exp
-
-    rr = ra * rb * ex(-2 * gam * d)
-    damp = 1.0 - rr
-
-    t_dir = ex(-gam * abs(zr - zs))
-    sgn = np.sign(zr - zs) if zr != zs else 0.0
-    t_a = ra * ex(-gam * ((zr - za) + (zs - za)))
-    t_b = rb * ex(-gam * ((zb - zr) + (zb - zs)))
-    t_ab1 = ra * rb * ex(-gam * (2 * d + (zr - zs)))
-    t_ab2 = ra * rb * ex(-gam * (2 * d - (zr - zs)))
-
-    v = (t_a + t_b + t_ab1 + t_ab2 + t_dir * rr) / damp
-
-    # dV/dzr factors: e^{-Γ|zr-zs|} -> -Γ sgn; e^{-Γ(zr-za..)} -> -Γ;
-    # e^{-Γ(zb-zr..)} -> +Γ; 2d+(zr-zs) -> -Γ; 2d-(zr-zs) -> +Γ.
-    dv = (-t_a + t_b - t_ab1 + t_ab2 - sgn * t_dir * rr) / damp
-
-    return v, dv
 
 
 def _fullspace_primary(rvec, p, eta, zeta):
@@ -114,45 +90,144 @@ def _mode_params(lam2, eta_h, eta_v, zeta, mode):
     return gam, z0
 
 
-def _reflections(gam, z0, thick, ilay):
-    """Global reflection coefficients at the two boundaries of ilay.
+def _reflection_tables(gam, z0, thick):
+    """Global reflection coefficients at every layer's two boundaries.
 
-    ``gam``/``z0``: (nlayer, nlam), layer index 0 = top; ``thick``:
-    (nlayer,) with inf outer layers.  Voltage-wave convention: the local
+    ``gam``/``z0``: (nlay, nlam), layer index 0 = top; ``thick``:
+    (nlay,) with inf outer layers.  Voltage-wave convention: the local
     coefficient looking from layer i into layer j is
     (Z_j − Z_i)/(Z_j + Z_i); global responses by the standard recursion
     from the outermost halfspaces inwards.
 
-    Returns (ra, rb): seen looking up at the top boundary / down at the
-    bottom boundary of layer ``ilay`` (zero for outer halfspaces).
+    Returns ``(ra, rb)``, each (nlay, nlam): ``ra[i]`` seen looking up
+    at the top boundary of layer i, ``rb[i]`` looking down at its
+    bottom boundary (zero for the outer halfspaces' outer sides).
     """
     nlay = gam.shape[0]
-    zero = np.zeros_like(gam[0])
+    ra = np.zeros_like(gam)
+    rb = np.zeros_like(gam)
 
-    # Looking DOWN at the bottom interface of layer i (between i, i+1):
-    # start at the bottom-most interface (layer nlay-2 / halfspace).
-    r_down = zero
-    for i in range(nlay - 2, ilay - 1, -1):
+    # rb[i]: looking down at interface (i | i+1); recursion upwards.
+    for i in range(nlay - 2, -1, -1):
         rloc = (z0[i + 1] - z0[i]) / (z0[i + 1] + z0[i])
         if i == nlay - 2:
-            r_down = rloc
+            rb[i] = rloc
         else:
             phase = np.exp(-2 * gam[i + 1] * thick[i + 1])
-            r_down = (rloc + r_down * phase) / (1 + rloc * r_down * phase)
+            rb[i] = ((rloc + rb[i + 1] * phase)
+                     / (1 + rloc * rb[i + 1] * phase))
 
-    # Looking UP at the top interface of layer i (between i-1, i).
-    r_up = zero
-    for i in range(1, ilay + 1):
+    # ra[i]: looking up at interface (i-1 | i); recursion downwards.
+    for i in range(1, nlay):
         rloc = (z0[i - 1] - z0[i]) / (z0[i - 1] + z0[i])
         if i == 1:
-            r_up = rloc
+            ra[i] = rloc
         else:
             phase = np.exp(-2 * gam[i - 1] * thick[i - 1])
-            r_up = (rloc + r_up * phase) / (1 + rloc * r_up * phase)
+            ra[i] = ((rloc + ra[i - 1] * phase)
+                     / (1 + rloc * ra[i - 1] * phase))
 
-    ra = r_up if ilay > 0 else zero
-    rb = r_down if ilay < nlay - 1 else zero
     return ra, rb
+
+
+def _tl_green(gam, z0, zif, thick, ra, rb, m, zs, n, zr, source,
+              secondary_only):
+    """TL Green's functions V(zr), I(zr) for a unit source at zs.
+
+    ``gam``/``z0``/``ra``/``rb``: (nlay, nlam) mode tables (z-down,
+    layer 0 on top); ``zif``: (nlay-1,) interface depths (z-down,
+    ascending); ``m``/``n``: source/receiver layer indices;
+    ``source``: 'i' (unit shunt current — horizontal dipoles) or
+    'v' (unit series voltage — vertical dipoles);
+    ``secondary_only``: exclude the direct wave (same-layer receivers
+    add the analytic space-domain primary instead).
+    """
+    g = gam[m]
+    z = z0[m]
+    za = zif[m - 1] if m > 0 else None         # top of source layer
+    zb = zif[m] if m < gam.shape[0] - 1 else None
+
+    # Signed direct-wave values at the source-layer boundaries.
+    # shunt current: V = (Z/2) e^{-Γ|z-zs|}          (symmetric V)
+    # series voltage: V = (1/2) sgn(z-zs) e^{-Γ|z-zs|} (antisymmetric)
+    eu = np.exp(-g * (zs - za)) if za is not None else 0.0 * g
+    ed = np.exp(-g * (zb - zs)) if zb is not None else 0.0 * g
+    if source == 'i':
+        u = 0.5 * z * eu
+        d = 0.5 * z * ed
+    else:
+        u = -0.5 * eu
+        d = 0.5 * ed
+
+    ra_m = ra[m]
+    rb_m = rb[m]
+    ee = (np.exp(-g * (zb - za))
+          if (za is not None and zb is not None) else 0.0 * g)
+    dd = 1.0 - ra_m * rb_m * ee ** 2
+
+    # Up/down wave amplitudes in the source layer (A: down-going,
+    # referenced at za; B: up-going, referenced at zb).
+    a_amp = ra_m * (u + rb_m * ee * d) / dd
+    b_amp = rb_m * (d + ra_m * ee * u) / dd
+
+    if n == m:
+        # Receiver in the source layer.
+        e_a = a_amp * np.exp(-g * (zr - za)) if za is not None else 0.0 * g
+        e_b = b_amp * np.exp(-g * (zb - zr)) if zb is not None else 0.0 * g
+        v = e_a + e_b
+        i = (e_a - e_b) / z
+        if not secondary_only:
+            edir = np.exp(-g * abs(zr - zs))
+            sgn = np.sign(zr - zs) if zr != zs else 0.0
+            if source == 'i':
+                v = v + 0.5 * z * edir
+                i = i + 0.5 * sgn * edir
+            else:
+                v = v + 0.5 * sgn * edir
+                i = i + 0.5 * edir / z
+        return v, i
+
+    if n > m:
+        # Walk DOWN: total V at the bottom boundary of the source layer.
+        vcur = a_amp * ee + b_amp + d
+        for k in range(m + 1, n):
+            ph = np.exp(-gam[k] * thick[k])
+            vcur = vcur * ph * (1 + rb[k]) / (1 + rb[k] * ph ** 2)
+        # Inside the receiver layer n.
+        ztop = zif[n - 1]
+        gn = gam[n]
+        if n < gam.shape[0] - 1:
+            ph = np.exp(-gn * thick[n])
+            den = 1 + rb[n] * ph ** 2
+            e_dn = np.exp(-gn * (zr - ztop))
+            e_up = rb[n] * ph * np.exp(-gn * (zif[n] - zr))
+            v = vcur * (e_dn + e_up) / den
+            i = vcur * (e_dn - e_up) / (z0[n] * den)
+        else:
+            e_dn = np.exp(-gn * (zr - ztop))
+            v = vcur * e_dn
+            i = vcur * e_dn / z0[n]
+        return v, i
+
+    # Walk UP: total V at the top boundary of the source layer.
+    vcur = a_amp + b_amp * ee + u
+    for k in range(m - 1, n, -1):
+        ph = np.exp(-gam[k] * thick[k])
+        vcur = vcur * ph * (1 + ra[k]) / (1 + ra[k] * ph ** 2)
+    zbot = zif[n]
+    gn = gam[n]
+    if n > 0:
+        ph = np.exp(-gn * thick[n])
+        den = 1 + ra[n] * ph ** 2
+        e_up = np.exp(-gn * (zbot - zr))
+        e_dn = ra[n] * ph * np.exp(-gn * (zr - zif[n - 1]))
+        v = vcur * (e_up + e_dn) / den
+        i = vcur * (e_dn - e_up) / (z0[n] * den)
+    else:
+        e_up = np.exp(-gn * (zbot - zr))
+        v = vcur * e_up
+        i = -vcur * e_up / z0[n]
+    return v, i
 
 
 def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
@@ -163,9 +238,10 @@ def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
     ----------
     src : array_like (x, y, z, azimuth, elevation)
         Electric point-dipole source of unit moment (z positive UP, as
-        everywhere in emg3d).
+        everywhere in emg3d).  Any orientation (tilted dipoles split
+        into their horizontal and vertical moments).
     receivers : ndarray (n, 3)
-        Receiver positions; must be in the same layer as the source.
+        Receiver positions, in any layer.
     depth : array_like
         Interface depths (z, increasing; z positive up), size nlay-1.
         E.g. [-2000, 0] = halfspace below -2000, layer to 0, air above.
@@ -175,7 +251,10 @@ def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
     frequency : float
         Frequency (Hz), > 0.
     aniso : array_like, optional
-        sqrt(res_v / res_h) per layer; default 1 (isotropic).
+        sqrt(res_v / res_h) per layer; default 1 (isotropic).  The
+        source layer must be isotropic when receivers share it (the
+        analytic primary is isotropic); all other configurations may
+        be VTI throughout.
 
     Returns
     -------
@@ -212,13 +291,7 @@ def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
         return int(np.searchsorted(zif, z))
 
     ilay = layer_of(zs)
-    if any(layer_of(z) != ilay for z in zr):
-        raise NotImplementedError(
-            "emg3d_tpu.layered: source and receivers must be in the "
-            "same layer (cross-layer transmission is future work).")
 
-    za = zif[ilay - 1] if ilay > 0 else -np.inf
-    zb = zif[ilay] if ilay < nlay - 1 else np.inf
     thick = np.empty(nlay)
     thick[0] = np.inf
     thick[-1] = np.inf
@@ -235,12 +308,9 @@ def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
     rho = np.maximum(rho, 1e-9)
     cphi = dx / rho
     sphi = dy / rho
-    c2phi = cphi ** 2 - sphi ** 2
-    s2phi = 2 * sphi * cphi
 
     # Wavenumbers: DLF evaluation points per receiver offset.
     lam = filt.base[None, :] / rho[:, None]          # (n, nb)
-    lam2 = lam ** 2
 
     out_e = np.zeros((receivers.shape[0], 3), dtype=np.complex128)
     out_h = np.zeros((receivers.shape[0], 3), dtype=np.complex128)
@@ -249,46 +319,35 @@ def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
     # z-down frame.
     p = rotation(src[3], src[4])
     p_h = np.array([p[0], p[1]])
-    pz_up = p[2]
+    mh = np.hypot(p_h[0], p_h[1])
+    pz_down = -p[2]
+
+    same_layer = [layer_of(z) == ilay for z in zr]
+    if any(same_layer) and abs(aniso[::-1][ilay] - 1.0) > 1e-12:
+        raise NotImplementedError(
+            "emg3d_tpu.layered: receivers in a VTI source layer need "
+            "the VTI fullspace primary (future work); move receivers "
+            "to another layer or make the source layer isotropic.")
+
+    j0 = filt.j0
+    j1 = filt.j1
 
     for irec in range(receivers.shape[0]):
         l_ = lam[irec]
-        l2 = lam2[irec]
+        l2 = l_ ** 2
         r_ = rho[irec]
+        nrec_lay = layer_of(zr[irec])
+        sec = nrec_lay == ilay   # same layer: secondary only + primary
 
-        mode_data = {}
+        tables = {}
         for mode in ('te', 'tm'):
             gam = np.empty((nlay, l_.size), dtype=np.complex128)
             z0 = np.empty_like(gam)
             for i in range(nlay):
                 gam[i], z0[i] = _mode_params(
                     l2, eta_h[i], eta_v[i], zeta, mode)
-            ra, rb = _reflections(gam, z0, thick, ilay)
-            za_eff = za if np.isfinite(za) else min(zs, zr[irec]) - 1.0
-            zb_eff = zb if np.isfinite(zb) else max(zs, zr[irec]) + 1.0
-            if not np.isfinite(za):
-                ra = np.zeros_like(ra)
-            if not np.isfinite(zb):
-                rb = np.zeros_like(rb)
-            v_raw, dv_raw = _tl_voltage_current(
-                gam[ilay], za_eff, zb_eff, ra, rb, zr[irec], zs)
-            # V_i = (Z/2)·v_raw;  dV/dzr = (Z/2)Γ·dv_raw;
-            # I_i = -(1/(ΓZ)) dV/dzr = -dv_raw/2.
-            mode_data[mode] = {
-                'gam': gam[ilay], 'z0': z0[ilay],
-                'v': 0.5 * z0[ilay] * v_raw,
-                'i': -0.5 * dv_raw,
-            }
-
-        vte, vtm = mode_data['te']['v'], mode_data['tm']['v']
-        ite, itm = mode_data['te']['i'], mode_data['tm']['i']
-
-        gam_tm = mode_data['tm']['gam']
-        eta_vs = eta_v[ilay]
-        eta_hs = eta_h[ilay]
-
-        j0 = filt.j0
-        j1 = filt.j1
+            ra, rb = _reflection_tables(gam, z0, thick)
+            tables[mode] = (gam, z0, zif, thick, ra, rb)
 
         def h0(ker):
             return (ker / r_) @ j0
@@ -300,24 +359,26 @@ def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
         def h2(ker):
             return 2.0 * ((ker / (l_ * r_)) / r_) @ j1 - h0(ker)
 
-        # ---- Horizontal electric dipole of unit horizontal moment
-        # along angle phi-reference; assembled for the actual p_h below.
-        # Spectral fields (Michalski-Zheng formulation C):
-        #   Ex ~ -(1/4π)[ (VTE+VTM) λ J0 + cos2φ (VTE−VTM) λ J2 ]
-        #   Ey ~ -(1/4π)  sin2φ (VTE−VTM) λ J2
-        #   Ez ~ +(1/4π) (λ²/η_v) I^TM ... cosφ J1
-        sum_v = h0(l_ * (vte + vtm))
-        dif_v = h2(l_ * (vte - vtm))
+        eta_v_r = eta_v[nrec_lay]
 
-        # TL currents for H-fields and Ez.
-        sum_i = h0(l_ * (ite + itm))
-        dif_i = h2(l_ * (ite - itm))
-
-        ez_ker = 2.0 * h1(l2 / eta_vs * itm)
-        hz_ker = 2.0 * h1(l2 / zeta * vte)
-
-        mh = np.hypot(p_h[0], p_h[1])
+        # ---- Horizontal moment: shunt-current TL sources, both modes.
         if mh > 0:
+            vte, ite = _tl_green(*tables['te'], ilay, zs, nrec_lay,
+                                 zr[irec], 'i', sec)
+            vtm, itm = _tl_green(*tables['tm'], ilay, zs, nrec_lay,
+                                 zr[irec], 'i', sec)
+
+            # Spectral fields (Michalski-Zheng formulation C):
+            #   Ex ~ -(1/4π)[(VTE+VTM) λ J0 + cos2φ (VTE−VTM) λ J2]
+            #   Ey ~ -(1/4π) sin2φ (VTE−VTM) λ J2
+            #   Ez ~ +(1/4π)(λ²/η_v(zr)) I^TM · 2cosφ J1
+            sum_v = h0(l_ * (vte + vtm))
+            dif_v = h2(l_ * (vte - vtm))
+            sum_i = h0(l_ * (ite + itm))
+            dif_i = h2(l_ * (ite - itm))
+            ez_ker = 2.0 * h1(l2 / eta_v_r * itm)
+            hz_ker = 2.0 * h1(l2 / zeta * vte)
+
             ca = p_h[0] / mh   # source-orientation cos/sin (horizontal)
             sa = p_h[1] / mh
             # Rotate receiver azimuth into the source frame.
@@ -335,30 +396,47 @@ def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
             hyp_ = -(sum_i - c2b * dif_i) / (4 * np.pi)
             hzp_ = sb * hz_ker / (4 * np.pi)
 
-            # Rotate back to global frame; flip z-components to z-up.
+            # Rotate back to the global (z-up) frame.  The internal
+            # frame is the z-mirrored one (improper transform,
+            # S = diag(1, 1, -1)): E is a polar vector (E' = S E), H an
+            # axial vector (H' = det(S)·S H = diag(-1, -1, 1) H).
             out_e[irec, 0] += mh * (ca * exp_ - sa * eyp_)
             out_e[irec, 1] += mh * (sa * exp_ + ca * eyp_)
             out_e[irec, 2] += mh * -ezp_
-            out_h[irec, 0] += mh * (ca * hxp_ - sa * hyp_)
-            out_h[irec, 1] += mh * (sa * hxp_ + ca * hyp_)
-            out_h[irec, 2] += mh * -hzp_
+            out_h[irec, 0] += mh * -(ca * hxp_ - sa * hyp_)
+            out_h[irec, 1] += mh * -(sa * hxp_ + ca * hyp_)
+            out_h[irec, 2] += mh * hzp_
 
-        if abs(pz_up) > 0:
-            raise NotImplementedError(
-                "emg3d_tpu.layered: vertical source components are "
-                "future work; use horizontal dipoles.")
+        # ---- Vertical moment (z-down): series-voltage TM source of
+        # spectral amplitude λ/(2π η_v(zs)); fields
+        #   E_ρ = (1/2π η_v(zs)) ∫ λ² V_v J1 dλ
+        #   E_z = (1/2π η_v(zs) η_v(zr)) ∫ λ³ I_v J0 dλ
+        #   H_φ = (1/2π η_v(zs)) ∫ λ² I_v J1 dλ
+        if abs(pz_down) > 0:
+            vv, iv = _tl_green(*tables['tm'], ilay, zs, nrec_lay,
+                               zr[irec], 'v', sec)
+            fac = pz_down / (2 * np.pi * eta_v[ilay])
+            e_rho = fac * h1(l2 * vv)
+            e_zd = fac / eta_v_r * h0(l2 * l_ * iv)
+            h_phi = fac * h1(l2 * iv)
 
-    # Analytic space-domain primary (direct) field of the source layer
-    # — the wavenumber-domain kernels above carry reflections only.
-    if abs(aniso[::-1][ilay] - 1.0) > 1e-12:
-        raise NotImplementedError(
-            "emg3d_tpu.layered: anisotropy in the source layer needs "
-            "the VTI fullspace primary (future work); other layers may "
-            "be VTI.")
-    rvec = receivers - src[:3][None, :]
-    e_p, h_p = _fullspace_primary(rvec, p, eta_h[ilay], zeta)
-    out_e += e_p
-    out_h += h_p
+            out_e[irec, 0] += cphi[irec] * e_rho
+            out_e[irec, 1] += sphi[irec] * e_rho
+            out_e[irec, 2] += -e_zd                    # z-up output
+            # Internal φ̂ (z-down frame) = (−sinφ, cosφ); H is axial,
+            # so its horizontal components flip in the z-up frame.
+            out_h[irec, 0] += sphi[irec] * h_phi
+            out_h[irec, 1] += -cphi[irec] * h_phi
+
+    # Analytic space-domain primary (direct) field for receivers in the
+    # source layer — the wavenumber kernels above carry reflections
+    # only there (the direct term decays too slowly in λ).
+    if any(same_layer):
+        sel = np.asarray(same_layer)
+        rvec = receivers[sel] - src[:3][None, :]
+        e_p, h_p = _fullspace_primary(rvec, p, eta_h[ilay], zeta)
+        out_e[sel] += e_p
+        out_h[sel] += h_p
 
     return out_e, out_h
 

@@ -93,17 +93,84 @@ class TestReflections:
             aniso=[2.0, 1.0])
         assert abs(e_vti[0, 0] / e_iso[0, 0] - 1.0) > 0.005
 
-    def test_same_layer_required(self):
-        with pytest.raises(NotImplementedError, match='same layer'):
+    def test_vti_source_layer_same_receiver_raises(self):
+        """Same-layer receivers in a VTI source layer: not implemented
+        (needs the VTI fullspace primary); cross-layer VTI works."""
+        with pytest.raises(NotImplementedError, match='VTI source'):
             layered.fields_layered(
-                (0., 0., 60., 0., 0.), np.array([[200., 0., -60.]]),
-                self.depth, self.res, self.freq)
+                (0., 0., 60., 0., 0.), np.array([[200., 0., 60.]]),
+                self.depth, self.res, self.freq, aniso=[1.0, 2.0])
+        # Receiver in the other layer: fine.
+        e, h = layered.fields_layered(
+            (0., 0., 60., 0., 0.), np.array([[200., 0., -60.]]),
+            self.depth, self.res, self.freq, aniso=[1.0, 2.0])
+        assert np.all(np.isfinite(e))
 
-    def test_vertical_source_not_implemented(self):
-        with pytest.raises(NotImplementedError, match='ertical'):
-            layered.fields_layered(
-                (0., 0., 60., 0., 90.), np.array([[200., 0., 60.]]),
-                self.depth, self.res, self.freq)
+
+class TestCrossLayerAndVertical:
+    """Cross-layer transmission and vertical/tilted sources.
+
+    Oracles: (1) a uniform stack must reproduce the analytic fullspace
+    for receivers in ANY layer and ANY source orientation (validates
+    the transmission walk and the VED series-voltage source);
+    (2) electromagnetic reciprocity in a strongly reflecting VTI stack
+    (exact for the true solution, sensitive to every sign and
+    transmission factor).
+    """
+
+    depth = [-1000., -500., 0.]
+
+    def test_uniform_stack_equals_fullspace_everywhere(self):
+        res = [2., 2., 2., 2.]
+        recs = np.array([
+            [600., 100., -1200.],    # two layers below the source
+            [700., 300., -250.],     # one layer above
+            [900., -100., 200.],     # two layers above (top halfspace)
+            [800., 150., -700.],     # same layer
+        ])
+        for azm, elv in [(0., 0.), (30., 40.), (0., 90.), (90., 0.)]:
+            src = (0., 0., -750., azm, elv)
+            e, h = layered.fields_layered(
+                src, recs, self.depth, res, 1.0)
+            exact = alternatives.fullspace_dipole(
+                recs, (0., 0., -750.), 1.0, 2.0, azimuth=azm,
+                elevation=elv)
+            assert_allclose(e, exact, rtol=1e-6)
+
+    def test_reciprocity_layered_vti(self):
+        res = [5., 1., 0.3, 1e8]
+        aniso = [2., 1.5, 1., 1.]
+        cases = [
+            # HED <-> tilted, across one interface
+            ((0., 0., -750., 25., 10.), (800., 300., -250., -40., 0.)),
+            # VED <-> VED across two interfaces
+            ((0., 0., -750., 0., 90.), (900., 200., -1200., 0., 90.)),
+            # HED <-> VED across layers
+            ((0., 0., -250., 0., 0.), (700., -400., -1500., 0., 90.)),
+            # tilted <-> tilted
+            ((0., 0., -100., 55., 30.), (600., 500., -800., 10., -45.)),
+        ]
+        for s1, s2 in cases:
+            r1 = layered.dipole_layered(
+                s1, [s2], self.depth, res, 0.7, aniso=aniso)[0]
+            r2 = layered.dipole_layered(
+                s2, [s1], self.depth, res, 0.7, aniso=aniso)[0]
+            assert_allclose(r1, r2, rtol=1e-10)
+
+    def test_magnetic_reciprocity(self):
+        """H(r2; J at r1) == -E(r1; M at r2)-type symmetry is implicit;
+        here: uniform stack H equals the analytic fullspace H."""
+        res = [1., 1., 1., 1.]
+        src = (0., 0., -750., 30., 40.)
+        recs = np.array([[600., 100., -1200.], [700., 300., -250.]])
+        from emg3d_tpu.electrodes import rotation
+        from scipy import constants as const
+        e, h = layered.fields_layered(src, recs, self.depth, res, 1.0)
+        zeta = 2j * np.pi * 1.0 * const.mu_0
+        rvec = recs - np.array([0., 0., -750.])[None]
+        e_ref, h_ref = layered._fullspace_primary(
+            rvec, rotation(30., 40.), 1.0, zeta)
+        assert_allclose(h, h_ref, rtol=1e-5)
 
 
 class TestVs3DSolver:
