@@ -44,8 +44,10 @@ import itertools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gauss_seidel", "gauss_seidel_sweep", "gauss_seidel_line",
-           "gauss_seidel_line_sweep", "solve_banded_5x5"]
+__all__ = ["gauss_seidel", "gauss_seidel_sweep", "gauss_seidel_phase",
+           "gauss_seidel_line", "gauss_seidel_line_sweep",
+           "gauss_seidel_line_phase", "phase_colors", "line_phase_colors",
+           "solve_banded_5x5"]
 
 
 # -------------------------------------------------------------------------
@@ -206,46 +208,155 @@ def gauss_seidel_sweep(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     sweep; ``reverse`` flips the phase order (the analogue of the
     reference's alternating forward/backward ordering, core.py:308-311).
     Returns the updated (ex, ey, ez).
+
+    Thin loop over :func:`gauss_seidel_phase` — the solver jits each
+    phase separately (8 small executables per shape, shared between the
+    forward and the reverse order) instead of one 8-phase graph: XLA
+    compile time is superlinear in graph size.
+    """
+    nx, ny, nz = hx.size, hy.size, hz.size
+    fields = (ex, ey, ez)
+    for c in phase_colors((nx, ny, nz), reverse):
+        fields = gauss_seidel_phase(
+            *fields, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+            hx, hy, hz, *c)
+    return fields
+
+
+def phase_colors(shape_cells, reverse):
+    """The 8-color phase order for one point-smoother sweep.
+
+    Parities with no interior nodes (tiny grids) are skipped; ``reverse``
+    flips the order (the analogue of the reference's backward sweep).
+    """
+    nx, ny, nz = shape_cells
+    colors = [(px, py, pz) for pz, py, px in
+              itertools.product((0, 1), repeat=3)
+              if px < nx - 1 and py < ny - 1 and pz < nz - 1]
+    return colors[::-1] if reverse else colors
+
+
+def line_phase_colors(shape_cells, axis, reverse):
+    """The 4-color phase order for one line-relaxation sweep.
+
+    The (p1, p2) parities refer to the transverse axes of the PERMUTED
+    frame in which the x-line kernel runs (axis 0: (y, z); axis 1:
+    (x, z); axis 2: (y, x)) — the same frames
+    :func:`gauss_seidel_line_sweep` uses.
+    """
+    nx, ny, nz = shape_cells
+    n1, n2 = {0: (ny, nz), 1: (nx, nz), 2: (ny, nx)}[axis]
+    colors = [(p1, p2) for p2, p1 in itertools.product((0, 1), repeat=2)
+              if p1 < n1 - 1 and p2 < n2 - 1]
+    return colors[::-1] if reverse else colors
+
+
+def gauss_seidel_line_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
+                            zeta, hx, hy, hz, p1, p2, axis):
+    """One line-relaxation phase along ``axis`` at transverse parity
+    (p1, p2) (parities in the permuted frame, see
+    :func:`line_phase_colors`)."""
+    if axis == 0:
+        return _line_relax_x_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y,
+                                   eta_z, zeta, hx, hy, hz, p1, p2)
+    if axis == 1:
+        tp = (1, 0, 2)
+        out = _line_relax_x_phase(
+            ey.transpose(tp), ex.transpose(tp), ez.transpose(tp),
+            sy.transpose(tp), sx.transpose(tp), sz.transpose(tp),
+            eta_y.transpose(tp), eta_x.transpose(tp), eta_z.transpose(tp),
+            zeta.transpose(tp), hy, hx, hz, p1, p2)
+        ey2, ex2, ez2 = out
+        return ex2.transpose(tp), ey2.transpose(tp), ez2.transpose(tp)
+    if axis == 2:
+        tp = (2, 1, 0)
+        out = _line_relax_x_phase(
+            ez.transpose(tp), ey.transpose(tp), ex.transpose(tp),
+            sz.transpose(tp), sy.transpose(tp), sx.transpose(tp),
+            eta_z.transpose(tp), eta_y.transpose(tp), eta_x.transpose(tp),
+            zeta.transpose(tp), hz, hy, hx, p1, p2)
+        ez2, ey2, ex2 = out
+        return ex2.transpose(tp), ey2.transpose(tp), ez2.transpose(tp)
+    raise ValueError(f"axis must be 0, 1, or 2; got {axis}.")
+
+
+def gauss_seidel_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+                       hx, hy, hz, px, py, pz):
+    """Relax the interior nodes of one (x, y, z)-parity class.
+
+    Assembles and solves the 6x6 node systems (reference
+    core.py:392-492) for the stride-2 node subgrid with
+    (ix-1, iy-1, iz-1) ≡ (px, py, pz) mod 2.  All coefficients are
+    computed directly on the phase block (composed strided slices of
+    the inputs), so a phase's XLA graph carries ~1/8 of a sweep's work.
     """
     nx, ny, nz = hx.size, hy.size, hz.size
 
     kx, ky, kz = 0.5 / hx, 0.5 / hy, 0.5 / hz
     ihx, ihy, ihz = 1.0 / hx, 1.0 / hy, 1.0 / hz
 
-    # Coefficient broadcasts on the interior-node block (nx-1, ny-1, nz-1).
-    kxa = kx[:-1][:, None, None]
-    kxb = kx[1:][:, None, None]
-    kym = ky[:-1][None, :, None]
-    kyp = ky[1:][None, :, None]
-    kzm = kz[:-1][None, None, :]
-    kzp = kz[1:][None, None, :]
-    ihxa_f = ihx[:-1]
-    ihxb_f = ihx[1:]
-    ihym_f = ihy[:-1]
-    ihyp_f = ihy[1:]
-    ihzm_f = ihz[:-1]
-    ihzp_f = ihz[1:]
-    ihxa = ihxa_f[:, None, None]
-    ihxb = ihxb_f[:, None, None]
-    ihym = ihym_f[None, :, None]
-    ihyp = ihyp_f[None, :, None]
-    ihzm = ihzm_f[None, None, :]
-    ihzp = ihzp_f[None, None, :]
+    # Slice helpers on the phase's stride-2 node subgrid.
+    def csl(o, n, p):   # cell-type slice at the phase nodes: o in {0, 1}.
+        return slice(o + p, n - 1 + o, 2)
 
-    # zeta x-gathers for the node block: a = cells [0:nx-1], b = [1:nx].
-    z = _zeta_gathers(zeta[:-1], zeta[1:])
+    def nsl(d, n, p):   # node-type slice: d in {-1, 0, 1}.
+        return slice(1 + d + p, n + d, 2)
+
+    xa, xb = csl(0, nx, px), csl(1, nx, px)
+    ym, yp = csl(0, ny, py), csl(1, ny, py)
+    zm, zp = csl(0, nz, pz), csl(1, nz, pz)
+
+    # Coefficient broadcasts on the phase block.
+    kxa = kx[xa][:, None, None]
+    kxb = kx[xb][:, None, None]
+    kym = ky[ym][None, :, None]
+    kyp = ky[yp][None, :, None]
+    kzm = kz[zm][None, None, :]
+    kzp = kz[zp][None, None, :]
+    pihxa = ihx[xa][:, None, None]
+    pihxb = ihx[xb][:, None, None]
+    pihym = ihy[ym][None, :, None]
+    pihyp = ihy[yp][None, :, None]
+    pihzm = ihz[zm][None, None, :]
+    pihzp = ihz[zp][None, None, :]
+    ihxa, ihxb = pihxa, pihxb
+    ihym, ihyp = pihym, pihyp
+    ihzm, ihzp = pihzm, pihzp
+
+    # zeta gathers on the phase block (composed slices of the full
+    # gathers zeta[:-1]/zeta[1:] + {m,p} y/z offsets).
+    z = {}
+    for xk, xs in (("a", xa), ("b", xb)):
+        z[xk + "mm"] = zeta[xs, ym, zm]
+        z[xk + "mp"] = zeta[xs, ym, zp]
+        z[xk + "pm"] = zeta[xs, yp, zm]
+        z[xk + "pp"] = zeta[xs, yp, zp]
     m = _m_coefficients(z, kxa, kxb, kym, kyp, kzm, kzp)
 
     # Diagonal eta sums (divided by 4, reference core.py:390).
-    ex4, ey4, ez4 = _eta_pairsums(eta_x, eta_y, eta_z)
-    st0 = ex4[:-1] / 4.0
-    st1 = ex4[1:] / 4.0
-    st2 = ey4[:, :-1, :] / 4.0
-    st3 = ey4[:, 1:, :] / 4.0
-    st4 = ez4[:, :, :-1] / 4.0
-    st5 = ez4[:, :, 1:] / 4.0
+    def st(eta, s0, s1, s2, ax):
+        # 4-cell sum over the two axes != ax, at phase offsets.
+        sls = [s0, s1, s2]
+        out = 0.0
+        for d1 in (0, 1):
+            for d2 in (0, 1):
+                idx = list(sls)
+                others = [i for i in range(3) if i != ax]
+                n_ = (nx, ny, nz)
+                p_ = (px, py, pz)
+                idx[others[0]] = csl(d1, n_[others[0]], p_[others[0]])
+                idx[others[1]] = csl(d2, n_[others[1]], p_[others[1]])
+                out = out + eta[tuple(idx)]
+        return out / 4.0
 
-    # 6x6 system rows on the full node block (lower+upper by symmetry;
+    st0 = st(eta_x, xa, None, None, 0)
+    st1 = st(eta_x, xb, None, None, 0)
+    st2 = st(eta_y, None, ym, None, 1)
+    st3 = st(eta_y, None, yp, None, 1)
+    st4 = st(eta_z, None, None, zm, 2)
+    st5 = st(eta_z, None, None, zp, 2)
+
+    # 6x6 system rows on the phase block (lower+upper by symmetry;
     # core.py:392-430).
     zero = jnp.zeros(jnp.broadcast_shapes(st0.shape, m["zyRxm"].shape),
                      dtype=st0.dtype)
@@ -277,7 +388,7 @@ def gauss_seidel_sweep(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     a53 = -m["xzRyp"] * ihyp + zero
     a10 = a32 = a54 = zero
 
-    rows_full = [
+    rows = [
         jnp.stack([a00, a10, a20, a30, a40, a50], axis=-1),
         jnp.stack([a10, a11, a21, a31, a41, a51], axis=-1),
         jnp.stack([a20, a21, a22, a32, a42, a52], axis=-1),
@@ -285,129 +396,92 @@ def gauss_seidel_sweep(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
         jnp.stack([a40, a41, a42, a43, a44, a54], axis=-1),
         jnp.stack([a50, a51, a52, a53, a54, a55], axis=-1),
     ]
+    mp = {k: jnp.broadcast_to(v, zero.shape) for k, v in m.items()}
 
-    # Coefficient dict of full-block (nx-1, ny-1, nz-1) arrays, for
-    # per-phase strided slicing.
-    m_full = {k: jnp.broadcast_to(v, zero.shape) for k, v in m.items()}
 
-    # Per-phase slice helpers.  A phase relaxes the interior nodes with
-    # (ix-1, iy-1, iz-1) = (px, py, pz) mod 2, i.e. the stride-2 subgrid
-    # starting at block offset (px, py, pz).
-    def csl(o, n, p):   # cell-type slice at the phase nodes: o in {0, 1}.
-        return slice(o + p, n - 1 + o, 2)
+    def gex(f, o, dy, dz):
+        return f[csl(o, nx, px), nsl(dy, ny, py), nsl(dz, nz, pz)]
 
-    def nsl(d, n, p):   # node-type slice: d in {-1, 0, 1}.
-        return slice(1 + d + p, n + d, 2)
+    def gey(f, dx, o, dz):
+        return f[nsl(dx, nx, px), csl(o, ny, py), nsl(dz, nz, pz)]
 
-    def phase(fields, px, py, pz):
-        ex, ey, ez = fields
-        sub = (slice(px, None, 2), slice(py, None, 2), slice(pz, None, 2))
+    def gez(f, dx, dy, o):
+        return f[nsl(dx, nx, px), nsl(dy, ny, py), csl(o, nz, pz)]
 
-        rows = [r[sub] for r in rows_full]
-        mp = {k: v[sub] for k, v in m_full.items()}
-        pihxa = ihxa_f[px::2][:, None, None]
-        pihxb = ihxb_f[px::2][:, None, None]
-        pihym = ihym_f[py::2][None, :, None]
-        pihyp = ihyp_f[py::2][None, :, None]
-        pihzm = ihzm_f[pz::2][None, None, :]
-        pihzp = ihzp_f[pz::2][None, None, :]
+    # rhs = b - (couplings to all 12 non-node edges); core.py:432-492.
+    # Cell-axis offsets o: 0 = minus cell (i-1), 1 = plus cell (i);
+    # node-axis offsets d: -1/0/+1 relative to the node.
+    r0 = (gex(sx, 0, 0, 0)
+          + mp["zyRxm"] * (gey(ey, -1, 1, 0) * pihxa
+                           + gex(ex, 0, 1, 0) * pihyp)
+          + mp["zyLxm"] * (-gey(ey, -1, 0, 0) * pihxa
+                           + gex(ex, 0, -1, 0) * pihym)
+          + mp["yzRxm"] * (gez(ez, -1, 0, 1) * pihxa
+                           + gex(ex, 0, 0, 1) * pihzp)
+          + mp["yzLxm"] * (-gez(ez, -1, 0, 0) * pihxa
+                           + gex(ex, 0, 0, -1) * pihzm))
 
-        def gex(f, o, dy, dz):
-            return f[csl(o, nx, px), nsl(dy, ny, py), nsl(dz, nz, pz)]
+    r1 = (gex(sx, 1, 0, 0)
+          + mp["zyRxp"] * (-gey(ey, 1, 1, 0) * pihxb
+                           + gex(ex, 1, 1, 0) * pihyp)
+          + mp["zyLxp"] * (gey(ey, 1, 0, 0) * pihxb
+                           + gex(ex, 1, -1, 0) * pihym)
+          + mp["yzRxp"] * (-gez(ez, 1, 0, 1) * pihxb
+                           + gex(ex, 1, 0, 1) * pihzp)
+          + mp["yzLxp"] * (gez(ez, 1, 0, 0) * pihxb
+                           + gex(ex, 1, 0, -1) * pihzm))
 
-        def gey(f, dx, o, dz):
-            return f[nsl(dx, nx, px), csl(o, ny, py), nsl(dz, nz, pz)]
+    r2 = (gey(sy, 0, 0, 0)
+          + mp["zxRym"] * (gey(ey, 1, 0, 0) * pihxb
+                           + gex(ex, 1, -1, 0) * pihym)
+          + mp["zxLym"] * (gey(ey, -1, 0, 0) * pihxa
+                           - gex(ex, 0, -1, 0) * pihym)
+          + mp["xzRym"] * (gez(ez, 0, -1, 1) * pihym
+                           + gey(ey, 0, 0, 1) * pihzp)
+          + mp["xzLym"] * (-gez(ez, 0, -1, 0) * pihym
+                           + gey(ey, 0, 0, -1) * pihzm))
 
-        def gez(f, dx, dy, o):
-            return f[nsl(dx, nx, px), nsl(dy, ny, py), csl(o, nz, pz)]
+    r3 = (gey(sy, 0, 1, 0)
+          + mp["zxRyp"] * (gey(ey, 1, 1, 0) * pihxb
+                           - gex(ex, 1, 1, 0) * pihyp)
+          + mp["zxLyp"] * (gey(ey, -1, 1, 0) * pihxa
+                           + gex(ex, 0, 1, 0) * pihyp)
+          + mp["xzRyp"] * (-gez(ez, 0, 1, 1) * pihyp
+                           + gey(ey, 0, 1, 1) * pihzp)
+          + mp["xzLyp"] * (gez(ez, 0, 1, 0) * pihyp
+                           + gey(ey, 0, 1, -1) * pihzm))
 
-        # rhs = b - (couplings to all 12 non-node edges); core.py:432-492.
-        # Cell-axis offsets o: 0 = minus cell (i-1), 1 = plus cell (i);
-        # node-axis offsets d: -1/0/+1 relative to the node.
-        r0 = (gex(sx, 0, 0, 0)
-              + mp["zyRxm"] * (gey(ey, -1, 1, 0) * pihxa
-                               + gex(ex, 0, 1, 0) * pihyp)
-              + mp["zyLxm"] * (-gey(ey, -1, 0, 0) * pihxa
-                               + gex(ex, 0, -1, 0) * pihym)
-              + mp["yzRxm"] * (gez(ez, -1, 0, 1) * pihxa
-                               + gex(ex, 0, 0, 1) * pihzp)
-              + mp["yzLxm"] * (-gez(ez, -1, 0, 0) * pihxa
-                               + gex(ex, 0, 0, -1) * pihzm))
+    r4 = (gez(sz, 0, 0, 0)
+          + mp["yxRzm"] * (gez(ez, 1, 0, 0) * pihxb
+                           + gex(ex, 1, 0, -1) * pihzm)
+          + mp["yxLzm"] * (gez(ez, -1, 0, 0) * pihxa
+                           - gex(ex, 0, 0, -1) * pihzm)
+          + mp["xyRzm"] * (gez(ez, 0, 1, 0) * pihyp
+                           + gey(ey, 0, 1, -1) * pihzm)
+          + mp["xyLzm"] * (gez(ez, 0, -1, 0) * pihym
+                           - gey(ey, 0, 0, -1) * pihzm))
 
-        r1 = (gex(sx, 1, 0, 0)
-              + mp["zyRxp"] * (-gey(ey, 1, 1, 0) * pihxb
-                               + gex(ex, 1, 1, 0) * pihyp)
-              + mp["zyLxp"] * (gey(ey, 1, 0, 0) * pihxb
-                               + gex(ex, 1, -1, 0) * pihym)
-              + mp["yzRxp"] * (-gez(ez, 1, 0, 1) * pihxb
-                               + gex(ex, 1, 0, 1) * pihzp)
-              + mp["yzLxp"] * (gez(ez, 1, 0, 0) * pihxb
-                               + gex(ex, 1, 0, -1) * pihzm))
+    r5 = (gez(sz, 0, 0, 1)
+          + mp["yxRzp"] * (gez(ez, 1, 0, 1) * pihxb
+                           - gex(ex, 1, 0, 1) * pihzp)
+          + mp["yxLzp"] * (gez(ez, -1, 0, 1) * pihxa
+                           + gex(ex, 0, 0, 1) * pihzp)
+          + mp["xyRzp"] * (gez(ez, 0, 1, 1) * pihyp
+                           - gey(ey, 0, 1, 1) * pihzp)
+          + mp["xyLzp"] * (gez(ez, 0, -1, 1) * pihym
+                           + gey(ey, 0, 0, 1) * pihzp))
 
-        r2 = (gey(sy, 0, 0, 0)
-              + mp["zxRym"] * (gey(ey, 1, 0, 0) * pihxb
-                               + gex(ex, 1, -1, 0) * pihym)
-              + mp["zxLym"] * (gey(ey, -1, 0, 0) * pihxa
-                               - gex(ex, 0, -1, 0) * pihym)
-              + mp["xzRym"] * (gez(ez, 0, -1, 1) * pihym
-                               + gey(ey, 0, 0, 1) * pihzp)
-              + mp["xzLym"] * (-gez(ez, 0, -1, 0) * pihym
-                               + gey(ey, 0, 0, -1) * pihzm))
+    sol = _solve6(rows, [r0, r1, r2, r3, r4, r5])
 
-        r3 = (gey(sy, 0, 1, 0)
-              + mp["zxRyp"] * (gey(ey, 1, 1, 0) * pihxb
-                               - gex(ex, 1, 1, 0) * pihyp)
-              + mp["zxLyp"] * (gey(ey, -1, 1, 0) * pihxa
-                               + gex(ex, 0, 1, 0) * pihyp)
-              + mp["xzRyp"] * (-gez(ez, 0, 1, 1) * pihyp
-                               + gey(ey, 0, 1, 1) * pihzp)
-              + mp["xzLyp"] * (gez(ez, 0, 1, 0) * pihyp
-                               + gey(ey, 0, 1, -1) * pihzm))
-
-        r4 = (gez(sz, 0, 0, 0)
-              + mp["yxRzm"] * (gez(ez, 1, 0, 0) * pihxb
-                               + gex(ex, 1, 0, -1) * pihzm)
-              + mp["yxLzm"] * (gez(ez, -1, 0, 0) * pihxa
-                               - gex(ex, 0, 0, -1) * pihzm)
-              + mp["xyRzm"] * (gez(ez, 0, 1, 0) * pihyp
-                               + gey(ey, 0, 1, -1) * pihzm)
-              + mp["xyLzm"] * (gez(ez, 0, -1, 0) * pihym
-                               - gey(ey, 0, 0, -1) * pihzm))
-
-        r5 = (gez(sz, 0, 0, 1)
-              + mp["yxRzp"] * (gez(ez, 1, 0, 1) * pihxb
-                               - gex(ex, 1, 0, 1) * pihzp)
-              + mp["yxLzp"] * (gez(ez, -1, 0, 1) * pihxa
-                               + gex(ex, 0, 0, 1) * pihzp)
-              + mp["xyRzp"] * (gez(ez, 0, 1, 1) * pihyp
-                               - gey(ey, 0, 1, 1) * pihzp)
-              + mp["xyLzp"] * (gez(ez, 0, -1, 1) * pihym
-                               + gey(ey, 0, 0, 1) * pihzp))
-
-        sol = _solve6(rows, [r0, r1, r2, r3, r4, r5])
-
-        # Scatter the solutions to the six adjacent edges of the phase's
-        # nodes — disjoint strided targets, no masking needed.
-        ex = ex.at[csl(0, nx, px), nsl(0, ny, py), nsl(0, nz, pz)].set(sol[0])
-        ex = ex.at[csl(1, nx, px), nsl(0, ny, py), nsl(0, nz, pz)].set(sol[1])
-        ey = ey.at[nsl(0, nx, px), csl(0, ny, py), nsl(0, nz, pz)].set(sol[2])
-        ey = ey.at[nsl(0, nx, px), csl(1, ny, py), nsl(0, nz, pz)].set(sol[3])
-        ez = ez.at[nsl(0, nx, px), nsl(0, ny, py), csl(0, nz, pz)].set(sol[4])
-        ez = ez.at[nsl(0, nx, px), nsl(0, ny, py), csl(1, nz, pz)].set(sol[5])
-        return ex, ey, ez
-
-    # Phase list; skip parities with no nodes (tiny grids).
-    colors = [(px, py, pz) for pz, py, px in
-              itertools.product((0, 1), repeat=3)
-              if px < nx - 1 and py < ny - 1 and pz < nz - 1]
-    if reverse:
-        colors = colors[::-1]
-
-    fields = (ex, ey, ez)
-    for c in colors:
-        fields = phase(fields, *c)
-
-    return fields
+    # Scatter the solutions to the six adjacent edges of the phase's
+    # nodes — disjoint strided targets, no masking needed.
+    ex = ex.at[csl(0, nx, px), nsl(0, ny, py), nsl(0, nz, pz)].set(sol[0])
+    ex = ex.at[csl(1, nx, px), nsl(0, ny, py), nsl(0, nz, pz)].set(sol[1])
+    ey = ey.at[nsl(0, nx, px), csl(0, ny, py), nsl(0, nz, pz)].set(sol[2])
+    ey = ey.at[nsl(0, nx, px), csl(1, ny, py), nsl(0, nz, pz)].set(sol[3])
+    ez = ez.at[nsl(0, nx, px), nsl(0, ny, py), csl(0, nz, pz)].set(sol[4])
+    ez = ez.at[nsl(0, nx, px), nsl(0, ny, py), csl(1, nz, pz)].set(sol[5])
+    return ex, ey, ez
 
 
 # -------------------------------------------------------------------------
@@ -418,12 +492,49 @@ def gauss_seidel_sweep(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
 
 def _line_relax_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
                   hx, hy, hz, nu, reverse=False, single_sweep=False):
-    """Line relaxation along x, 4-colored over (y, z) line parities."""
+    """Line relaxation along x, 4-colored over (y, z) line parities.
+
+    Thin loop over :func:`_line_relax_x_phase` (one executable per
+    phase when jitted by the solver, shared between sweep orders).
+    """
+    ny, nz = hy.size, hz.size
+    colors = [(py, pz) for pz, py in itertools.product((0, 1), repeat=2)
+              if py < ny - 1 and pz < nz - 1]
+
+    fields = (ex, ey, ez)
+    args = (sx, sy, sz, eta_x, eta_y, eta_z, zeta, hx, hy, hz)
+    if single_sweep:
+        order = colors[::-1] if reverse else colors
+        for c in order:
+            fields = _line_relax_x_phase(*fields, *args, *c)
+        return fields
+    for sweep in range(nu):
+        order = colors if sweep % 2 == 0 else colors[::-1]
+        for c in order:
+            fields = _line_relax_x_phase(*fields, *args, *c)
+    return fields
+
+
+def _line_relax_x_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
+                        zeta, hx, hy, hz, py, pz):
+    """Relax the x-lines at interior (y, z) nodes of parity (py, pz).
+
+    Builds the block-tridiagonal line systems (5x5 ``middle``/``left``
+    blocks, reference core.py:680-721) directly on the phase block
+    (composed strided slices), then solves all lines of the color with
+    one batched block-Thomas elimination.
+    """
     nx, ny, nz = hx.size, hy.size, hz.size
     cdtype = ex.dtype
 
     kx, ky, kz = 0.5 / hx, 0.5 / hy, 0.5 / hz
     ihx, ihy, ihz = 1.0 / hx, 1.0 / hy, 1.0 / hz
+
+    def csl(o, n, p):   # cell-type slice at the phase nodes: o in {0, 1}.
+        return slice(o + p, n - 1 + o, 2)
+
+    ym, yp = csl(0, ny, py), csl(1, ny, py)
+    zm, zp = csl(0, nz, pz), csl(1, nz, pz)
 
     # x-gathers: a = g (the group index, 0..nx-1), b = min(g+1, nx-1).
     idx_b = jnp.minimum(jnp.arange(nx) + 1, nx - 1)
@@ -432,38 +543,40 @@ def _line_relax_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     kxb = (0.5 / hx_b)[:, None, None]
     ihxa = ihx[:, None, None]
     ihxb = (1.0 / hx_b)[:, None, None]
-    kym = ky[:-1][None, :, None]
-    kyp = ky[1:][None, :, None]
-    kzm = kz[:-1][None, None, :]
-    kzp = kz[1:][None, None, :]
-    ihym_f = ihy[:-1]
-    ihyp_f = ihy[1:]
-    ihzm_f = ihz[:-1]
-    ihzp_f = ihz[1:]
-    ihym = ihym_f[None, :, None]
-    ihyp = ihyp_f[None, :, None]
-    ihzm = ihzm_f[None, None, :]
-    ihzp = ihzp_f[None, None, :]
+    kym = ky[ym][None, :, None]
+    kyp = ky[yp][None, :, None]
+    kzm = kz[zm][None, None, :]
+    kzp = kz[zp][None, None, :]
+    pihym = ihy[ym][None, :, None]
+    pihyp = ihy[yp][None, :, None]
+    pihzm = ihz[zm][None, None, :]
+    pihzp = ihz[zp][None, None, :]
+    ihym, ihyp, ihzm, ihzp = pihym, pihyp, pihzm, pihzp
 
-    z = _zeta_gathers(zeta, zeta[idx_b])
+    zeta_b = zeta[idx_b]
+    z = {}
+    for xk, zz in (("a", zeta), ("b", zeta_b)):
+        z[xk + "mm"] = zz[:, ym, zm]
+        z[xk + "mp"] = zz[:, ym, zp]
+        z[xk + "pm"] = zz[:, yp, zm]
+        z[xk + "pp"] = zz[:, yp, zp]
     m = _m_coefficients(z, kxa, kxb, kym, kyp, kzm, kzp)
 
     eta_y_b = eta_y[idx_b]
     eta_z_b = eta_z[idx_b]
 
-    ex4 = (eta_x[:, :-1, :-1] + eta_x[:, 1:, :-1]
-           + eta_x[:, :-1, 1:] + eta_x[:, 1:, 1:])
-    st0 = ex4 / 4.0
-    st2 = (eta_y_b[:, :-1, :-1] + eta_y_b[:, :-1, 1:]
-           + eta_y[:, :-1, :-1] + eta_y[:, :-1, 1:]) / 4.0
-    st3 = (eta_y_b[:, 1:, :-1] + eta_y_b[:, 1:, 1:]
-           + eta_y[:, 1:, :-1] + eta_y[:, 1:, 1:]) / 4.0
-    st4 = (eta_z_b[:, 1:, :-1] + eta_z_b[:, :-1, :-1]
-           + eta_z[:, 1:, :-1] + eta_z[:, :-1, :-1]) / 4.0
-    st5 = (eta_z_b[:, 1:, 1:] + eta_z_b[:, :-1, 1:]
-           + eta_z[:, 1:, 1:] + eta_z[:, :-1, 1:]) / 4.0
+    st0 = (eta_x[:, ym, zm] + eta_x[:, yp, zm]
+           + eta_x[:, ym, zp] + eta_x[:, yp, zp]) / 4.0
+    st2 = (eta_y_b[:, ym, zm] + eta_y_b[:, ym, zp]
+           + eta_y[:, ym, zm] + eta_y[:, ym, zp]) / 4.0
+    st3 = (eta_y_b[:, yp, zm] + eta_y_b[:, yp, zp]
+           + eta_y[:, yp, zm] + eta_y[:, yp, zp]) / 4.0
+    st4 = (eta_z_b[:, yp, zm] + eta_z_b[:, ym, zm]
+           + eta_z[:, yp, zm] + eta_z[:, ym, zm]) / 4.0
+    st5 = (eta_z_b[:, yp, zp] + eta_z_b[:, ym, zp]
+           + eta_z[:, yp, zp] + eta_z[:, ym, zp]) / 4.0
 
-    blk = (nx, ny - 1, nz - 1)
+    blk = (nx, st0.shape[1], st0.shape[2])
     zero = jnp.zeros(blk, dtype=cdtype)
 
     def bc(v):
@@ -526,113 +639,85 @@ def _line_relax_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     mid = mid.at[-1].set(last_mid)
     left = left.at[-1, :, :, 1:, :].set(0.0)
 
-    # Off-line couplings use the m coefficients too; broadcast them to the
-    # full block once for per-phase slicing.
-    m_full = {k: bc(v) for k, v in m.items()}
+    # Off-line couplings use the m coefficients too.
+    mp = {k: bc(v) for k, v in m.items()}
+    mid_p = mid
+    left_p = left
 
-    def phase(fields, py, pz):
-        """Relax the lines at interior (y, z) nodes with parity (py, pz)."""
-        ex, ey, ez = fields
+    # Transverse slices (strided interior nodes / their cells).
+    ycN = slice(1 + py, ny, 2)
+    ypN = slice(2 + py, ny + 1, 2)
+    ymN = slice(py, ny - 1, 2)
+    ymC = slice(py, ny - 1, 2)
+    ypC = slice(1 + py, ny, 2)
+    zcN = slice(1 + pz, nz, 2)
+    zpN = slice(2 + pz, nz + 1, 2)
+    zmN = slice(pz, nz - 1, 2)
+    zmC = slice(pz, nz - 1, 2)
+    zpC = slice(1 + pz, nz, 2)
 
-        sub = (slice(None), slice(py, None, 2), slice(pz, None, 2))
-        mp = {k: v[sub] for k, v in m_full.items()}
-        mid_p = mid[sub]
-        left_p = left[sub]
+    ex_b = ex[idx_b]
+    ey_b = ey[idx_b]
+    ez_b = ez[idx_b]
+    sy_b = sy[idx_b]
+    sz_b = sz[idx_b]
 
-        pihym = ihym_f[py::2][None, :, None]
-        pihyp = ihyp_f[py::2][None, :, None]
-        pihzm = ihzm_f[pz::2][None, None, :]
-        pihzp = ihzp_f[pz::2][None, None, :]
+    # Off-line couplings moved to the rhs (core.py:723-766).
+    r0 = (sx[:, ycN, zcN]
+          + mp["zyRxm"] * ex[:, ypN, zcN] * pihyp
+          + mp["zyLxm"] * ex[:, ymN, zcN] * pihym
+          + mp["yzRxm"] * ex[:, ycN, zpN] * pihzp
+          + mp["yzLxm"] * ex[:, ycN, zmN] * pihzm)
 
-        # Transverse slices (strided interior nodes / their cells).
-        ycN = slice(1 + py, ny, 2)
-        ypN = slice(2 + py, ny + 1, 2)
-        ymN = slice(py, ny - 1, 2)
-        ymC = slice(py, ny - 1, 2)
-        ypC = slice(1 + py, ny, 2)
-        zcN = slice(1 + pz, nz, 2)
-        zpN = slice(2 + pz, nz + 1, 2)
-        zmN = slice(pz, nz - 1, 2)
-        zmC = slice(pz, nz - 1, 2)
-        zpC = slice(1 + pz, nz, 2)
+    r1 = (sy_b[:, ymC, zcN]
+          + (mp["zxRym"] * ex_b[:, ymN, zcN]
+             - mp["zxLym"] * ex[:, ymN, zcN]
+             + mp["xzRym"] * ez_b[:, ymN, zpC]
+             - mp["xzLym"] * ez_b[:, ymN, zmC]) * pihym
+          + mp["xzRym"] * ey_b[:, ymC, zpN] * pihzp
+          + mp["xzLym"] * ey_b[:, ymC, zmN] * pihzm)
 
-        ex_b = ex[idx_b]
-        ey_b = ey[idx_b]
-        ez_b = ez[idx_b]
-        sy_b = sy[idx_b]
-        sz_b = sz[idx_b]
+    r2 = (sy_b[:, ypC, zcN]
+          + (mp["zxLyp"] * ex[:, ypN, zcN]
+             - mp["zxRyp"] * ex_b[:, ypN, zcN]
+             + mp["xzLyp"] * ez_b[:, ypN, zmC]
+             - mp["xzRyp"] * ez_b[:, ypN, zpC]) * pihyp
+          + mp["xzRyp"] * ey_b[:, ypC, zpN] * pihzp
+          + mp["xzLyp"] * ey_b[:, ypC, zmN] * pihzm)
 
-        # Off-line couplings moved to the rhs (core.py:723-766).
-        r0 = (sx[:, ycN, zcN]
-              + mp["zyRxm"] * ex[:, ypN, zcN] * pihyp
-              + mp["zyLxm"] * ex[:, ymN, zcN] * pihym
-              + mp["yzRxm"] * ex[:, ycN, zpN] * pihzp
-              + mp["yzLxm"] * ex[:, ycN, zmN] * pihzm)
+    r3 = (sz_b[:, ycN, zmC]
+          + (mp["yxRzm"] * ex_b[:, ycN, zmN]
+             - mp["yxLzm"] * ex[:, ycN, zmN]
+             + mp["xyRzm"] * ey_b[:, ypC, zmN]
+             - mp["xyLzm"] * ey_b[:, ymC, zmN]) * pihzm
+          + mp["xyRzm"] * ez_b[:, ypN, zmC] * pihyp
+          + mp["xyLzm"] * ez_b[:, ymN, zmC] * pihym)
 
-        r1 = (sy_b[:, ymC, zcN]
-              + (mp["zxRym"] * ex_b[:, ymN, zcN]
-                 - mp["zxLym"] * ex[:, ymN, zcN]
-                 + mp["xzRym"] * ez_b[:, ymN, zpC]
-                 - mp["xzLym"] * ez_b[:, ymN, zmC]) * pihym
-              + mp["xzRym"] * ey_b[:, ymC, zpN] * pihzp
-              + mp["xzLym"] * ey_b[:, ymC, zmN] * pihzm)
+    r4 = (sz_b[:, ycN, zpC]
+          + (mp["yxLzp"] * ex[:, ycN, zpN]
+             - mp["yxRzp"] * ex_b[:, ycN, zpN]
+             + mp["xyLzp"] * ey_b[:, ymC, zpN]
+             - mp["xyRzp"] * ey_b[:, ypC, zpN]) * pihzp
+          + mp["xyRzp"] * ez_b[:, ypN, zpC] * pihyp
+          + mp["xyLzp"] * ez_b[:, ymN, zpC] * pihym)
 
-        r2 = (sy_b[:, ypC, zcN]
-              + (mp["zxLyp"] * ex[:, ypN, zcN]
-                 - mp["zxRyp"] * ex_b[:, ypN, zcN]
-                 + mp["xzLyp"] * ez_b[:, ypN, zmC]
-                 - mp["xzRyp"] * ez_b[:, ypN, zpC]) * pihyp
-              + mp["xzRyp"] * ey_b[:, ypC, zpN] * pihzp
-              + mp["xzLyp"] * ey_b[:, ypC, zmN] * pihzm)
+    blk_p = mp["zyRxm"].shape
+    rhs = jnp.stack([jnp.broadcast_to(r0, blk_p),
+                     jnp.broadcast_to(r1, blk_p),
+                     jnp.broadcast_to(r2, blk_p),
+                     jnp.broadcast_to(r3, blk_p),
+                     jnp.broadcast_to(r4, blk_p)], axis=-1)
+    # Last group: only the ex entry (core.py:1467-1470).
+    rhs = rhs.at[-1, :, :, 1:].set(0.0)
 
-        r3 = (sz_b[:, ycN, zmC]
-              + (mp["yxRzm"] * ex_b[:, ycN, zmN]
-                 - mp["yxLzm"] * ex[:, ycN, zmN]
-                 + mp["xyRzm"] * ey_b[:, ypC, zmN]
-                 - mp["xyLzm"] * ey_b[:, ymC, zmN]) * pihzm
-              + mp["xyRzm"] * ez_b[:, ypN, zmC] * pihyp
-              + mp["xyLzm"] * ez_b[:, ymN, zmC] * pihym)
+    u = _block_thomas(mid_p, left_p, rhs)
 
-        r4 = (sz_b[:, ycN, zpC]
-              + (mp["yxLzp"] * ex[:, ycN, zpN]
-                 - mp["yxRzp"] * ex_b[:, ycN, zpN]
-                 + mp["xyLzp"] * ey_b[:, ymC, zpN]
-                 - mp["xyRzp"] * ey_b[:, ypC, zpN]) * pihzp
-              + mp["xyRzp"] * ez_b[:, ypN, zpC] * pihyp
-              + mp["xyLzp"] * ez_b[:, ymN, zpC] * pihym)
-
-        blk_p = mp["zyRxm"].shape
-        rhs = jnp.stack([jnp.broadcast_to(r0, blk_p),
-                         jnp.broadcast_to(r1, blk_p),
-                         jnp.broadcast_to(r2, blk_p),
-                         jnp.broadcast_to(r3, blk_p),
-                         jnp.broadcast_to(r4, blk_p)], axis=-1)
-        # Last group: only the ex entry (core.py:1467-1470).
-        rhs = rhs.at[-1, :, :, 1:].set(0.0)
-
-        u = _block_thomas(mid_p, left_p, rhs)
-
-        ex = ex.at[:, ycN, zcN].set(u[..., 0])
-        ey = ey.at[1:nx, ymC, zcN].set(u[:-1, ..., 1])
-        ey = ey.at[1:nx, ypC, zcN].set(u[:-1, ..., 2])
-        ez = ez.at[1:nx, ycN, zmC].set(u[:-1, ..., 3])
-        ez = ez.at[1:nx, ycN, zpC].set(u[:-1, ..., 4])
-        return ex, ey, ez
-
-    colors = [(py, pz) for pz, py in itertools.product((0, 1), repeat=2)
-              if py < ny - 1 and pz < nz - 1]
-
-    fields = (ex, ey, ez)
-    if single_sweep:
-        order = colors[::-1] if reverse else colors
-        for c in order:
-            fields = phase(fields, *c)
-        return fields
-    for sweep in range(nu):
-        order = colors if sweep % 2 == 0 else colors[::-1]
-        for c in order:
-            fields = phase(fields, *c)
-    return fields
+    ex = ex.at[:, ycN, zcN].set(u[..., 0])
+    ey = ey.at[1:nx, ymC, zcN].set(u[:-1, ..., 1])
+    ey = ey.at[1:nx, ypC, zcN].set(u[:-1, ..., 2])
+    ez = ez.at[1:nx, ycN, zmC].set(u[:-1, ..., 3])
+    ez = ez.at[1:nx, ycN, zpC].set(u[:-1, ..., 4])
+    return ex, ey, ez
 
 
 def _block_thomas(mid, left, rhs):

@@ -420,18 +420,18 @@ def _smooth_dev(e, s, arrs, c_lr_dir, nu):
     return e
 
 
-@functools.partial(jax.jit, static_argnames=('reverse',))
-def _gs_sweep_jit(e, s, arrs, reverse):
+@functools.partial(jax.jit, static_argnames=('color',))
+def _gs_phase_jit(e, s, arrs, color):
     P = (arrs['eta_x'], arrs['eta_y'], arrs['eta_z'], arrs['zeta'],
          arrs['hx'], arrs['hy'], arrs['hz'])
-    return smoothers.gauss_seidel_sweep(*e, *s, *P, reverse)
+    return smoothers.gauss_seidel_phase(*e, *s, *P, *color)
 
 
-@functools.partial(jax.jit, static_argnames=('reverse', 'axis'))
-def _line_sweep_jit(e, s, arrs, reverse, axis):
+@functools.partial(jax.jit, static_argnames=('color', 'axis'))
+def _line_phase_jit(e, s, arrs, color, axis):
     P = (arrs['eta_x'], arrs['eta_y'], arrs['eta_z'], arrs['zeta'],
          arrs['hx'], arrs['hy'], arrs['hz'])
-    return smoothers.gauss_seidel_line_sweep(*e, *s, *P, reverse, axis)
+    return smoothers.gauss_seidel_line_phase(*e, *s, *P, *color, axis)
 
 
 def _residual_dev(e, s, arrs):
@@ -441,27 +441,29 @@ def _residual_dev(e, s, arrs):
 
 
 def _smooth_jit(e, s, arrs, c_lr_dir, nu):
-    """Smoothing via per-sweep jitted kernels.
+    """Smoothing via per-PHASE jitted kernels.
 
-    One executable per (shape, smoother-kind, sweep-order) — reused for
-    every nu and every smoothing position (pre/post/init/coarse) — keeps
-    the number and the size of the compiled XLA graphs small (compile
-    time is superlinear in graph size).
+    One executable per (shape, smoother-kind, color) — reused for every
+    nu, every smoothing position (pre/post/init/coarse) and BOTH sweep
+    orders (a reverse sweep is the same phases in the opposite order) —
+    keeps the number and the size of the compiled XLA graphs small
+    (compile time is superlinear in graph size, and per-phase graphs
+    are ~1/8 of a sweep).
     """
+    shape = (arrs['hx'].size, arrs['hy'].size, arrs['hz'].size)
     # Each kernel completes its nu sweeps before the next one runs
     # (reference solver.py:836-846).
     if c_lr_dir == 0:
         for sweep in range(nu):
-            e = _gs_sweep_jit(e, s, arrs, sweep % 2 == 1)
-    if c_lr_dir in [1, 5, 6, 7]:
-        for sweep in range(nu):
-            e = _line_sweep_jit(e, s, arrs, sweep % 2 == 1, 0)
-    if c_lr_dir in [2, 4, 6, 7]:
-        for sweep in range(nu):
-            e = _line_sweep_jit(e, s, arrs, sweep % 2 == 1, 1)
-    if c_lr_dir in [3, 4, 5, 7]:
-        for sweep in range(nu):
-            e = _line_sweep_jit(e, s, arrs, sweep % 2 == 1, 2)
+            for c in smoothers.phase_colors(shape, sweep % 2 == 1):
+                e = _gs_phase_jit(e, s, arrs, c)
+    for axis, dirs in ((0, (1, 5, 6, 7)), (1, (2, 4, 6, 7)),
+                       (2, (3, 4, 5, 7))):
+        if c_lr_dir in dirs:
+            for sweep in range(nu):
+                for c in smoothers.line_phase_colors(
+                        shape, axis, sweep % 2 == 1):
+                    e = _line_phase_jit(e, s, arrs, c, axis)
     return e
 
 
