@@ -79,6 +79,161 @@ def _fullspace_primary(rvec, p, eta, zeta):
     return e, h
 
 
+def _sommerfeld_table(gam, rho, h):
+    """Closed forms of the Sommerfeld-family Hankel integrals.
+
+    All with kernel e^{-Γh}, Γ = sqrt(λ² + γ²), h = |Δz| ≥ 0,
+    R = sqrt(ρ² + h²):
+
+        I1 = ∫ (λ/Γ)  e^{-Γh} J0 dλ = e^{-γR}/R          (Sommerfeld)
+        I2 = ∫  λ     e^{-Γh} J0 dλ = -∂h I1
+        I3 = ∫  λΓ    e^{-Γh} J0 dλ = ∂²h I1
+        I4 = ∫ (1/Γ)  e^{-Γh} J1 dλ = (e^{-γh} − e^{-γR})/(γρ)
+        I5 = ∫  1     e^{-Γh} J1 dλ = -∂h I4
+        I6 = ∫  Γ     e^{-Γh} J1 dλ = ∂²h I4
+        I7 = ∫ (λ²/Γ) e^{-Γh} J1 dλ = -∂ρ I1
+        I8 = ∫  λ²    e^{-Γh} J1 dλ = -∂h I7
+        I9 = ∫ (λ³/Γ) e^{-Γh} J0 dλ = I3 − γ² I1   (λ² = Γ² − γ²)
+
+    Each identity is validated numerically against the DLF in
+    tests/test_layered.py.
+    """
+    r2 = rho ** 2 + h ** 2
+    r = np.sqrt(r2)
+    gr = gam * r
+    egr = np.exp(-gr)
+    egh = np.exp(-gam * h)
+
+    i1 = egr / r
+    i2 = h * (gr + 1) * egr / r ** 3
+    i3 = egr * (h ** 2 * (gr ** 2 + 3 * gr + 3) / r ** 5 - (gr + 1) / r ** 3)
+    i4 = (egh - egr) / (gam * rho)
+    i5 = (egh - (h / r) * egr) / rho
+    i6 = (gam ** 2 * egh
+          - (gam ** 2 * h ** 2 / r2 - gam * rho ** 2 / r ** 3) * egr
+          ) / (gam * rho)
+    i7 = rho * (gr + 1) * egr / r ** 3
+    i8 = rho * h * (gr ** 2 + 3 * gr + 3) * egr / r ** 5
+    i9 = i3 - gam ** 2 * i1
+    return {'i1': i1, 'i2': i2, 'i3': i3, 'i4': i4, 'i5': i5,
+            'i6': i6, 'i7': i7, 'i8': i8, 'i9': i9}
+
+
+def _vti_fullspace_kernels(rho, dz, eta_h, eta_v, zeta):
+    """Closed-form spectral-kernel values of a dipole in a VTI wholespace.
+
+    Returns the same kernel set the DLF path of :func:`fields_layered`
+    computes (sum_v, dif_v, sum_i, dif_i, ez_ker, hz_ker and the VED
+    kernels), but evaluated analytically: the TE-mode integrals are the
+    isotropic Sommerfeld forms; the TM mode has Γm² = Λ²λ² + γ² with
+    Λ² = η_h/η_v, and the substitution u = Λλ turns every TM integral
+    into an isotropic one at the scaled horizontal distance ρ/Λ with a
+    power of 1/Λ: ∫ λ^a Γm^b e^{-Γm h} Jn(λρ) dλ
+    = Λ^{-(a+1)} ∫ u^a Γ^b e^{-Γh} Jn(uρ/Λ) du.
+
+    ``dz`` = zr − zs in the internal z-down frame (its sign enters the
+    odd TL current kernels).
+    """
+    h = np.abs(dz)
+    sgn = np.sign(dz)
+    gam = np.sqrt(zeta * eta_h)
+    lam_a = np.sqrt(eta_h / eta_v)          # anisotropy Λ
+    rho_m = rho / lam_a
+
+    te = _sommerfeld_table(gam, rho, h)
+    tm = _sommerfeld_table(gam, rho_m, h)
+
+    il = 1.0 / lam_a
+    # V_te = (ζ/2Γe) e^{-Γe h};  V_tm = (Γm/2η_h) e^{-Γm h};
+    # I_mode = (sgn/2) e^{-Γ h}.
+    h0_lv_te = 0.5 * zeta * te['i1']
+    h0_lv_tm = 0.5 / eta_h * il ** 2 * tm['i3']
+    h1_v_te = 0.5 * zeta * te['i4']
+    h1_v_tm = 0.5 / eta_h * il * tm['i6']
+    h0_li_te = 0.5 * sgn * te['i2']
+    h0_li_tm = 0.5 * sgn * il ** 2 * tm['i2']
+    h1_i_te = 0.5 * sgn * te['i5']
+    h1_i_tm = 0.5 * sgn * il * tm['i5']
+
+    sum_v = h0_lv_te + h0_lv_tm
+    dif_v = (2.0 / rho) * (h1_v_te - h1_v_tm) - (h0_lv_te - h0_lv_tm)
+    sum_i = h0_li_te + h0_li_tm
+    dif_i = (2.0 / rho) * (h1_i_te - h1_i_tm) - (h0_li_te - h0_li_tm)
+    ez_ker = sgn / eta_v * il ** 3 * tm['i8']
+    hz_ker = te['i7']
+
+    # VED (TM only): V_v = (sgn/2) e^{-Γm h}; I_v = (η_h/2Γm) e^{-Γm h}.
+    ved_e_rho = 0.5 * sgn * il ** 3 * tm['i8']
+    ved_e_z = 0.5 * eta_h * il ** 4 * tm['i9']
+    ved_h_phi = 0.5 * eta_h * il ** 3 * tm['i7']
+
+    return {'sum_v': sum_v, 'dif_v': dif_v, 'sum_i': sum_i,
+            'dif_i': dif_i, 'ez_ker': ez_ker, 'hz_ker': hz_ker,
+            'ved_e_rho': ved_e_rho, 'ved_e_z': ved_e_z,
+            'ved_h_phi': ved_h_phi}
+
+
+def _vti_fullspace_primary(rvec, p, eta_h, eta_v, zeta):
+    """E and H of a unit electric dipole in a VTI wholespace (closed form).
+
+    ``rvec``: (n, 3) receiver − source in the GLOBAL z-up frame;
+    ``p``: dipole moment (z-up).  Assembles the analytic kernel values
+    of :func:`_vti_fullspace_kernels` exactly like the DLF path of
+    :func:`fields_layered` (same internal z-down frame, same polar/axial
+    output mapping).  Reduces to :func:`_fullspace_primary` for
+    η_v = η_h.
+    """
+    rvec = np.atleast_2d(rvec)
+    dx, dy = rvec[:, 0], rvec[:, 1]
+    dz = -rvec[:, 2]                       # z-down internal frame
+    rho = np.maximum(np.hypot(dx, dy), 1e-9)
+    cphi, sphi = dx / rho, dy / rho
+
+    ker = _vti_fullspace_kernels(rho, dz, eta_h, eta_v, zeta)
+
+    n = rvec.shape[0]
+    out_e = np.zeros((n, 3), dtype=np.complex128)
+    out_h = np.zeros((n, 3), dtype=np.complex128)
+
+    p_h = np.asarray(p[:2], dtype=np.float64)
+    mh = np.hypot(p_h[0], p_h[1])
+    pz_down = -p[2]
+
+    if mh > 0:
+        ca, sa = p_h[0] / mh, p_h[1] / mh
+        cb = cphi * ca + sphi * sa
+        sb = -cphi * sa + sphi * ca
+        c2b = cb * cb - sb * sb
+        s2b = 2 * sb * cb
+
+        exp_ = -(ker['sum_v'] + c2b * ker['dif_v']) / (4 * np.pi)
+        eyp_ = -(s2b * ker['dif_v']) / (4 * np.pi)
+        ezp_ = cb * ker['ez_ker'] / (4 * np.pi)
+        hxp_ = (s2b * ker['dif_i']) / (4 * np.pi)
+        hyp_ = -(ker['sum_i'] - c2b * ker['dif_i']) / (4 * np.pi)
+        hzp_ = sb * ker['hz_ker'] / (4 * np.pi)
+
+        out_e[:, 0] += mh * (ca * exp_ - sa * eyp_)
+        out_e[:, 1] += mh * (sa * exp_ + ca * eyp_)
+        out_e[:, 2] += mh * -ezp_
+        out_h[:, 0] += mh * -(ca * hxp_ - sa * hyp_)
+        out_h[:, 1] += mh * -(sa * hxp_ + ca * hyp_)
+        out_h[:, 2] += mh * hzp_
+
+    if abs(pz_down) > 0:
+        fac = pz_down / (2 * np.pi * eta_v)
+        e_rho = fac * ker['ved_e_rho']
+        e_zd = fac / eta_v * ker['ved_e_z']
+        h_phi = fac * ker['ved_h_phi']
+        out_e[:, 0] += cphi * e_rho
+        out_e[:, 1] += sphi * e_rho
+        out_e[:, 2] += -e_zd
+        out_h[:, 0] += sphi * h_phi
+        out_h[:, 1] += -cphi * h_phi
+
+    return out_e, out_h
+
+
 def _mode_params(lam2, eta_h, eta_v, zeta, mode):
     """Vertical wavenumber and characteristic impedance per layer."""
     if mode == 'te':
@@ -323,11 +478,6 @@ def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
     pz_down = -p[2]
 
     same_layer = [layer_of(z) == ilay for z in zr]
-    if any(same_layer) and abs(aniso[::-1][ilay] - 1.0) > 1e-12:
-        raise NotImplementedError(
-            "emg3d_tpu.layered: receivers in a VTI source layer need "
-            "the VTI fullspace primary (future work); move receivers "
-            "to another layer or make the source layer isotropic.")
 
     j0 = filt.j0
     j1 = filt.j1
@@ -430,11 +580,13 @@ def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
 
     # Analytic space-domain primary (direct) field for receivers in the
     # source layer — the wavenumber kernels above carry reflections
-    # only there (the direct term decays too slowly in λ).
+    # only there (the direct term decays too slowly in λ).  The VTI
+    # wholespace closed form handles an anisotropic source layer.
     if any(same_layer):
         sel = np.asarray(same_layer)
         rvec = receivers[sel] - src[:3][None, :]
-        e_p, h_p = _fullspace_primary(rvec, p, eta_h[ilay], zeta)
+        e_p, h_p = _vti_fullspace_primary(
+            rvec, p, eta_h[ilay], eta_v[ilay], zeta)
         out_e[sel] += e_p
         out_h[sel] += h_p
 

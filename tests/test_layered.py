@@ -93,18 +93,78 @@ class TestReflections:
             aniso=[2.0, 1.0])
         assert abs(e_vti[0, 0] / e_iso[0, 0] - 1.0) > 0.005
 
-    def test_vti_source_layer_same_receiver_raises(self):
-        """Same-layer receivers in a VTI source layer: not implemented
-        (needs the VTI fullspace primary); cross-layer VTI works."""
-        with pytest.raises(NotImplementedError, match='VTI source'):
-            layered.fields_layered(
-                (0., 0., 60., 0., 0.), np.array([[200., 0., 60.]]),
-                self.depth, self.res, self.freq, aniso=[1.0, 2.0])
-        # Receiver in the other layer: fine.
-        e, h = layered.fields_layered(
-            (0., 0., 60., 0., 0.), np.array([[200., 0., -60.]]),
-            self.depth, self.res, self.freq, aniso=[1.0, 2.0])
-        assert np.all(np.isfinite(e))
+    def test_vti_source_layer_same_receiver(self):
+        """Same-layer receivers in a VTI source layer use the
+        closed-form VTI wholespace primary; reciprocity must hold."""
+        s1 = (0., 0., 60., 25., 15.)
+        s2 = (240., 130., 35., -50., 40.)
+        aniso = [1.6, 2.0]       # VTI everywhere incl. source layer
+        r1 = layered.dipole_layered(
+            s1, [s2], self.depth, self.res, self.freq, aniso=aniso)[0]
+        r2 = layered.dipole_layered(
+            s2, [s1], self.depth, self.res, self.freq, aniso=aniso)[0]
+        np.testing.assert_allclose(r1, r2, rtol=1e-8)
+
+
+class TestVTIFullspace:
+    """Closed-form VTI wholespace primary (layered._vti_fullspace_*)."""
+
+    zeta = 1j * 2 * np.pi * 0.8 * (4e-7 * np.pi)
+
+    def test_sommerfeld_identities_vs_dlf(self):
+        """Each tabulated Hankel integral equals its DLF evaluation."""
+        from emg3d_tpu import transforms
+        filt = transforms.design_hankel_filter()
+        gam = np.sqrt(self.zeta * 0.5)
+        rho, h = 400.0, 250.0
+        lam = filt.base / rho
+        gg = np.sqrt(lam ** 2 + gam ** 2)
+        ker = np.exp(-gg * h)
+        tab = layered._sommerfeld_table(gam, rho, h)
+        j0 = lambda f: (f / rho) @ filt.j0
+        j1 = lambda f: (f / rho) @ filt.j1
+        checks = {
+            'i1': j0(lam / gg * ker), 'i2': j0(lam * ker),
+            'i3': j0(lam * gg * ker), 'i4': j1(ker / gg),
+            'i5': j1(ker), 'i6': j1(gg * ker),
+            'i7': j1(lam ** 2 / gg * ker), 'i8': j1(lam ** 2 * ker),
+            'i9': j0(lam ** 3 / gg * ker),
+        }
+        for key, dlf in checks.items():
+            np.testing.assert_allclose(tab[key], dlf, rtol=1e-7,
+                                       err_msg=key)
+
+    def test_isotropic_limit(self):
+        from emg3d_tpu.electrodes import rotation
+        rng = np.random.default_rng(3)
+        rvec = rng.uniform(-800, 800, (6, 3))
+        for azm, elv in [(0., 0.), (30., 40.), (0., 90.)]:
+            p = rotation(azm, elv)
+            e1, h1 = layered._fullspace_primary(rvec, p, 0.5, self.zeta)
+            e2, h2 = layered._vti_fullspace_primary(
+                rvec, p, 0.5, 0.5, self.zeta)
+            np.testing.assert_allclose(e2, e1, rtol=1e-12)
+            np.testing.assert_allclose(h2, h1, rtol=1e-12)
+
+    def test_vti_vs_spectral(self):
+        """Closed form == spectral TL totals in a uniform VTI stack."""
+        from emg3d_tpu.electrodes import rotation
+        depth = [-1000., -500., 0.]
+        res = [2.0] * 4
+        aniso = [1.7] * 4
+        recs = np.array([[600., 100., -1200.], [700., 300., -250.],
+                         [900., -100., 200.]])
+        eta_h = 0.5
+        eta_v = eta_h / 1.7 ** 2
+        for azm, elv in [(0., 0.), (30., 40.), (0., 90.)]:
+            src = (0., 0., -750., azm, elv)
+            e_sp, h_sp = layered.fields_layered(
+                src, recs, depth, res, 0.8, aniso=aniso)
+            rv = recs - np.array(src[:3])[None]
+            e_cf, h_cf = layered._vti_fullspace_primary(
+                rv, rotation(azm, elv), eta_h, eta_v, self.zeta)
+            np.testing.assert_allclose(e_sp, e_cf, rtol=2e-6)
+            np.testing.assert_allclose(h_sp, h_cf, rtol=2e-6)
 
 
 class TestCrossLayerAndVertical:
