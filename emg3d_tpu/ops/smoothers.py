@@ -710,7 +710,7 @@ def _line_relax_x_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
     # Last group: only the ex entry (core.py:1467-1470).
     rhs = rhs.at[-1, :, :, 1:].set(0.0)
 
-    u = _block_thomas(mid_p, left_p, rhs)
+    u = _block_solve_lines(mid_p, left_p, rhs)
 
     ex = ex.at[:, ycN, zcN].set(u[..., 0])
     ey = ey.at[1:nx, ymC, zcN].set(u[:-1, ..., 1])
@@ -720,13 +720,94 @@ def _line_relax_x_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
     return ex, ey, ez
 
 
+def _block_solve_lines(mid, left, rhs):
+    """Dispatch the batched block-tridiagonal line solve.
+
+    ``EMG3D_TPU_LINE_SOLVER``: 'thomas' (default; sequential depth n,
+    minimal work — right for CPUs) or 'pcr' (parallel cyclic reduction;
+    depth log2(n) at ~log2(n)x the work — right for TPUs, where the
+    scan's sequential latency, not FLOPs, floors the line relaxation).
+    Read at TRACE time: set it before the first solve (already-compiled
+    executables keep the solver they were traced with).
+    """
+    import os
+
+    if os.environ.get("EMG3D_TPU_LINE_SOLVER", "thomas") == "pcr":
+        return _block_pcr(mid, left, rhs)
+    return _block_thomas(mid, left, rhs)
+
+
+def _block_pcr(mid, left, rhs):
+    """Block parallel cyclic reduction for the line systems.
+
+    Same system as :func:`_block_thomas`: block-tridiagonal with
+    diagonal blocks ``mid[g]``, sub-diagonal ``left[g]`` (coupling of
+    row g to g−1) and super-diagonal ``left[g+1]^T`` (complex-symmetric
+    system).  Each reduction step eliminates the couplings at distance
+    d and doubles d; after ceil(log2 n) steps the system is block
+    diagonal.  All rows update simultaneously — sequential depth
+    ceil(log2 n) instead of 2n, at ~log2(n) times the block-op work
+    (the TPU trade: latency for parallel FLOPs).
+
+    No pivoting (as the reference's banded LDL^T, core.py:1481-1616);
+    the multigrid smoother blocks are strongly diagonally dominated.
+    """
+    n = mid.shape[0]
+    ii = jnp.broadcast_to(jnp.eye(5, dtype=mid.dtype), mid.shape[1:])
+
+    def shift(a, d, fill):
+        """a[g+d] with ``fill`` rows where g+d is out of range."""
+        if d >= n or -d >= n:
+            return jnp.broadcast_to(fill, a.shape).astype(a.dtype)
+        filler = jnp.broadcast_to(
+            fill, (abs(d),) + a.shape[1:]).astype(a.dtype)
+        if d > 0:
+            return jnp.concatenate([a[d:], filler], axis=0)
+        return jnp.concatenate([filler, a[:d]], axis=0)
+
+    dd = mid
+    ll = left.at[0].set(0.0)
+    uu = jnp.swapaxes(shift(left, 1, jnp.zeros((5, 5), left.dtype)),
+                      -1, -2)
+    bb = rhs
+
+    d = 1
+    while d < n:
+        z55 = jnp.zeros((5, 5), dd.dtype)
+        dm = shift(dd, -d, jnp.eye(5, dtype=dd.dtype))
+        dp = shift(dd, +d, jnp.eye(5, dtype=dd.dtype))
+        lm = shift(ll, -d, z55)
+        up = shift(uu, +d, z55)
+        um = shift(uu, -d, z55)
+        lp = shift(ll, +d, z55)
+        bm = shift(bb, -d, jnp.zeros((5,), bb.dtype))
+        bp = shift(bb, +d, jnp.zeros((5,), bb.dtype))
+
+        # alpha = -L D_{g-d}^{-1}; beta = -U D_{g+d}^{-1}.  The D blocks
+        # are complex symmetric, so D^{-T} = D^{-1} and
+        # (L D^{-1})^T = D^{-1} L^T solves directly.
+        alpha = -jnp.swapaxes(_solve5(dm, jnp.swapaxes(ll, -1, -2)),
+                              -1, -2)
+        beta = -jnp.swapaxes(_solve5(dp, jnp.swapaxes(uu, -1, -2)),
+                             -1, -2)
+
+        mm = jnp.einsum("...ij,...jk->...ik", alpha, um)
+        pp = jnp.einsum("...ij,...jk->...ik", beta, lp)
+        dd = dd + mm + pp
+        bb = (bb + jnp.einsum("...ij,...j->...i", alpha, bm)
+              + jnp.einsum("...ij,...j->...i", beta, bp))
+        ll = jnp.einsum("...ij,...jk->...ik", alpha, lm)
+        uu = jnp.einsum("...ij,...jk->...ik", beta, up)
+        d *= 2
+
+    return _solve5(dd, bb[..., None])[..., 0]
+
+
 def _block_thomas(mid, left, rhs):
     """Solve batched block-tridiagonal systems (5x5 blocks) for all lines.
 
     Forward: C_g = M_g - L_g C_{g-1}^{-1} L_g^T; backward with the
     super-diagonal blocks L_{g+1}^T.  Batched over the line dimensions.
-    TODO(perf): replace with block parallel cyclic reduction to cut the
-    sequential depth from nx to log2(nx).
     """
     def fwd(carry, inp):
         c_prev, y_prev = carry

@@ -128,3 +128,56 @@ def test_point_smoother_single_interior_node_is_exact():
     assert abs(rx[0, 1, 1]) < 1e-10 and abs(rx[1, 1, 1]) < 1e-10
     assert abs(ry[1, 0, 1]) < 1e-10 and abs(ry[1, 1, 1]) < 1e-10
     assert abs(rz[1, 1, 0]) < 1e-10 and abs(rz[1, 1, 1]) < 1e-10
+
+
+class TestBlockPCR:
+    """Parallel cyclic reduction == block-Thomas on the line systems."""
+
+    def _random_system(self, n, seed=7):
+        rng = np.random.default_rng(seed)
+        mid = (rng.normal(size=(n, 4, 3, 5, 5))
+               + 1j * rng.normal(size=(n, 4, 3, 5, 5)))
+        mid = mid + np.swapaxes(mid, -1, -2) + 12.0 * np.eye(5)
+        left = 0.5 * (rng.normal(size=(n, 4, 3, 5, 5))
+                      + 1j * rng.normal(size=(n, 4, 3, 5, 5)))
+        left[0] = 0
+        rhs = (rng.normal(size=(n, 4, 3, 5))
+               + 1j * rng.normal(size=(n, 4, 3, 5)))
+        return (jnp.asarray(mid), jnp.asarray(left), jnp.asarray(rhs))
+
+    @pytest.mark.parametrize("n", [2, 3, 8, 16, 33])
+    def test_pcr_vs_thomas_random(self, n):
+        mid, left, rhs = self._random_system(n)
+        ut = smoothers._block_thomas(mid, left, rhs)
+        up = smoothers._block_pcr(mid, left, rhs)
+        assert_allclose(np.asarray(up), np.asarray(ut), rtol=1e-12)
+
+    def test_pcr_single_row(self):
+        mid, left, rhs = self._random_system(1)
+        up = smoothers._block_pcr(mid, left, rhs)
+        ref = smoothers._solve5(mid, rhs[..., None])[..., 0]
+        assert_allclose(np.asarray(up), np.asarray(ref), rtol=1e-12)
+
+    def test_line_phase_with_pcr(self, monkeypatch):
+        """A real line-relaxation phase gives identical fields with PCR."""
+        rng = np.random.default_rng(11)
+        nx, ny, nz = 9, 8, 7
+        hx = jnp.asarray(rng.uniform(20, 60, nx))
+        hy = jnp.asarray(rng.uniform(20, 60, ny))
+        hz = jnp.asarray(rng.uniform(20, 60, nz))
+        shp_x, shp_y, shp_z = (nx, ny+1, nz+1), (nx+1, ny, nz+1), (nx+1, ny+1, nz)
+        f = lambda s: jnp.asarray(rng.normal(size=s) + 1j*rng.normal(size=s))
+        e = (f(shp_x), f(shp_y), f(shp_z))
+        s = (f(shp_x), f(shp_y), f(shp_z))
+        eta = tuple(jnp.asarray(-(rng.uniform(1e3, 5e3, (nx, ny, nz)))
+                    + 1j*rng.uniform(1e2, 5e2, (nx, ny, nz))) for _ in range(3))
+        zeta = jnp.asarray(rng.uniform(1e3, 2e3, (nx, ny, nz)))
+
+        monkeypatch.setenv("EMG3D_TPU_LINE_SOLVER", "thomas")
+        out_t = smoothers._line_relax_x_phase(
+            *e, *s, *eta, zeta, hx, hy, hz, 0, 0)
+        monkeypatch.setenv("EMG3D_TPU_LINE_SOLVER", "pcr")
+        out_p = smoothers._line_relax_x_phase(
+            *e, *s, *eta, zeta, hx, hy, hz, 0, 0)
+        for a, b in zip(out_t, out_p):
+            assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-11)
