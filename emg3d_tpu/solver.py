@@ -440,6 +440,23 @@ def _residual_dev(e, s, arrs):
         arrs['hx'], arrs['hy'], arrs['hz'])
 
 
+# Synchronous-dispatch mode for grid-sharded solves on the CPU backend:
+# the virtual multi-device mesh timeshares ONE host, and XLA's
+# collective rendezvous aborts the process (rendezvous.cc, 40 s
+# timeout) if some participant threads are starved — e.g. while the
+# main thread compiles the next phase executable.  Blocking after every
+# dispatch guarantees each executable's collectives complete before
+# anything else competes for the core.  Real TPU meshes (one runtime
+# per chip) don't need this and keep fully async dispatch.
+_SYNC_DISPATCH = False
+
+
+def _sj(x):
+    if _SYNC_DISPATCH:
+        jax.block_until_ready(x)
+    return x
+
+
 def _smooth_jit(e, s, arrs, c_lr_dir, nu):
     """Smoothing via per-PHASE jitted kernels.
 
@@ -456,14 +473,14 @@ def _smooth_jit(e, s, arrs, c_lr_dir, nu):
     if c_lr_dir == 0:
         for sweep in range(nu):
             for c in smoothers.phase_colors(shape, sweep % 2 == 1):
-                e = _gs_phase_jit(e, s, arrs, c)
+                e = _sj(_gs_phase_jit(e, s, arrs, c))
     for axis, dirs in ((0, (1, 5, 6, 7)), (1, (2, 4, 6, 7)),
                        (2, (3, 4, 5, 7))):
         if c_lr_dir in dirs:
             for sweep in range(nu):
                 for c in smoothers.line_phase_colors(
                         shape, axis, sweep % 2 == 1):
-                    e = _line_phase_jit(e, s, arrs, c, axis)
+                    e = _sj(_line_phase_jit(e, s, arrs, c, axis))
     return e
 
 
@@ -562,10 +579,10 @@ def _cycle_correction(meta, arrays, r, var, first, smooth=_smooth_jit,
                 if var.nu_pre > 0:
                     e = smooth(e, s, arrs, c_lr_dir, var.nu_pre)
 
-                cs = restrict(e, s, arrs, coarsen)
+                cs = _sj(restrict(e, s, arrs, coarsen))
                 ce = tuple(jnp.zeros_like(c) for c in cs)
                 ce = recurse(cs, ce, level + 1, cycmax - cyc)
-                e = prolong(e, ce, arrs, coarsen)
+                e = _sj(prolong(e, ce, arrs, coarsen))
 
                 if var.nu_post > 0:
                     e = smooth(e, s, arrs, c_lr_dir, var.nu_post)
@@ -586,10 +603,10 @@ def _cycle_correction(meta, arrays, r, var, first, smooth=_smooth_jit,
     else:
         if var.nu_pre > 0:
             de = smooth(de, r, arrs, c_lr_dir, var.nu_pre)
-        cs = restrict(de, r, arrs, coarsen)
+        cs = _sj(restrict(de, r, arrs, coarsen))
         ce = tuple(jnp.zeros_like(c) for c in cs)
         ce = recurse(cs, ce, 1, cycmax0)
-        de = prolong(de, ce, arrs, coarsen)
+        de = _sj(prolong(de, ce, arrs, coarsen))
         if var.nu_post > 0:
             de = smooth(de, r, arrs, c_lr_dir, var.nu_post)
 
@@ -648,6 +665,10 @@ def multigrid(model, sfield, efield, var, **kwargs):
     hier = kwargs.pop('hierarchies', None)
     if hier is None:
         hier = _Hierarchies(model, var)
+
+    global _SYNC_DISPATCH
+    _SYNC_DISPATCH = (var.placement is not None
+                      and jax.default_backend() == 'cpu')
 
     as_field = hasattr(sfield, 'field')
     if as_field:
@@ -766,6 +787,11 @@ def krylov(model, sfield, efield, var):
     fall back to scipy.sparse.linalg with device matvecs.
     """
     hier = _Hierarchies(model, var)
+
+    global _SYNC_DISPATCH
+    _SYNC_DISPATCH = (var.placement is not None
+                      and jax.default_backend() == 'cpu')
+
     mdev = _vmodel_to_dev(model)
     if var.placement is not None:
         mdev = var.placement.place_level(mdev, var.shape_cells)
