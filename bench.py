@@ -46,9 +46,28 @@ def run(model, sfield):
 
 def main():
     # A process born with a bad backend channel never recovers (see
-    # emg3d_tpu.backend); roll a fresh process until healthy.
+    # emg3d_tpu.backend); roll a fresh process until healthy.  If the
+    # accelerator stays unhealthy through the whole rebirth budget,
+    # fall back to the CPU backend so the driver still records a real
+    # solve (tagged with its platform) instead of an error line.
     from emg3d_tpu import backend
-    backend.reexec_if_born_bad()
+    platform = None
+    if os.environ.get("EMG3D_BENCH_CPU"):
+        # Re-executed after exhausting the rebirth budget: jax is not
+        # initialized yet in this fresh process, so the platform switch
+        # still takes effect.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu-fallback"
+        # Keep the CPU fallback affordable on the 1-core host.
+        global N
+        N = min(N, 48)
+    else:
+        try:
+            backend.reexec_if_born_bad()
+        except backend.HealthError:
+            os.environ["EMG3D_BENCH_CPU"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
 
     model, sfield = make_problem(N)
 
@@ -97,6 +116,8 @@ def main():
         "it_mg": info["it_mg"],
         "rel_error": float(info["rel_error"]),
     }
+    if platform:
+        out["platform"] = platform
     print(json.dumps(out))
     return 0
 
