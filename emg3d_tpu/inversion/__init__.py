@@ -8,6 +8,7 @@ so the wrappers' heavy dependencies stay optional.
 import importlib as _importlib
 
 submodules = [
+    'native',
     'pygimli',
     'simpeg',
 ]

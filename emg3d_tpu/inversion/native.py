@@ -1,0 +1,164 @@
+"""Native inversion driver: minimize a Simulation's data misfit.
+
+The reference defers 3-D inversion to external frameworks (SimPEG,
+pyGIMLi) through placeholder bridges (emg3d/inversion/simpeg.py:39-47).
+emg3d-tpu additionally ships a small self-contained driver that runs a
+bound-constrained quasi-Newton (L-BFGS-B) or nonlinear-CG inversion
+directly on :class:`emg3d_tpu.simulations.Simulation` — misfit and
+adjoint-state gradient come from the simulation, model updates happen
+in the model's mapping space (use a log mapping, e.g. ``'LgResistivity'``
+or ``'LnConductivity'``, for positivity and scale invariance).
+
+Example
+-------
+>>> sim = emg3d_tpu.Simulation(survey=survey, model=model0, ...)
+>>> result = emg3d_tpu.inversion.native.minimize(sim, maxiter=10)
+>>> inverted = result.model
+
+The optimizer runs on the host (scipy); every misfit/gradient
+evaluation is a full multigrid forward + adjoint pass on the
+accelerator.
+"""
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from emg3d_tpu import models
+
+__all__ = ['minimize', 'InversionResult']
+
+
+def __dir__():
+    return __all__
+
+
+@dataclass
+class InversionResult:
+    """Outcome of :func:`minimize`."""
+
+    model: object                 # final Model
+    misfit: float                 # final data misfit
+    misfit0: float                # initial data misfit
+    n_iterations: int
+    n_evaluations: int
+    success: bool
+    message: str
+    history: list = field(default_factory=list)   # misfit per evaluation
+
+    def __repr__(self):
+        return (f"InversionResult(misfit={self.misfit:.4e} "
+                f"(from {self.misfit0:.4e}), "
+                f"iterations={self.n_iterations}, "
+                f"evaluations={self.n_evaluations}, "
+                f"success={self.success})")
+
+
+def minimize(simulation, maxiter=10, method='L-BFGS-B', bounds=None,
+             tol=1e-8, regularization=0.0, reference_model=None,
+             callback=None, verb=1):
+    """Minimize the simulation's data misfit over its model parameters.
+
+    Parameters
+    ----------
+    simulation : Simulation
+        Forward simulation with observed data.  Its model must be
+        isotropic; its mapping defines the inversion parameterization
+        (log mappings recommended).  The simulation is used in place:
+        on return its model is the inverted one.
+    maxiter : int
+        Maximum optimizer iterations.
+    method : str
+        Any scipy.optimize gradient method ('L-BFGS-B', 'CG', 'TNC', …).
+    bounds : tuple (lower, upper), optional
+        Per-parameter bounds in mapping space (scalars broadcast).
+    tol : float
+        Optimizer tolerance (scipy ``tol``).
+    regularization : float
+        Tikhonov weight α of the penalty ½α‖m − m_ref‖² added to the
+        data misfit (a minimal smoother/damper; 0 disables).
+    reference_model : ndarray, optional
+        m_ref of the penalty (default: the starting model).
+    callback : callable, optional
+        ``callback(iteration, misfit, model_vector)`` after each
+        optimizer iteration.
+    verb : int
+        0: silent; 1: one line per iteration.
+
+    Returns
+    -------
+    InversionResult
+    """
+    import scipy.optimize
+
+    sim = simulation
+    if sim.model.case != 'isotropic':
+        raise NotImplementedError(
+            "native inversion currently supports isotropic models; "
+            f"got '{sim.model.case}'.")
+
+    grid = sim.model.grid
+    mapping = sim.model.map.name
+    shape = sim.model.shape
+    m0 = np.asarray(sim.model.property_x, dtype=np.float64).ravel()
+    m_ref = (m0.copy() if reference_model is None
+             else np.asarray(reference_model, dtype=np.float64).ravel())
+
+    state = {'n_eval': 0, 'n_it': 0, 'best': None, 'history': [],
+             'misfit0': None, 't0': time.time()}
+
+    def set_model(m):
+        sim.model = models.Model(
+            grid, property_x=m.reshape(shape, order='F').copy(),
+            mapping=mapping)
+        # 'computed' resets the synthetic data, misfit and gradient so
+        # the next access recomputes with the new model ('keepresults'
+        # would keep them — reference clean semantics).
+        sim.clean('computed')
+
+    def fun(m):
+        set_model(m)
+        phi_d = float(sim.misfit)
+        grad = np.asarray(sim.gradient, dtype=np.float64).ravel()
+        state['n_eval'] += 1
+        if state['misfit0'] is None:
+            state['misfit0'] = phi_d
+        phi = phi_d
+        if regularization:
+            dm = m - m_ref
+            phi = phi + 0.5 * regularization * float(dm @ dm)
+            grad = grad + regularization * dm
+        state['history'].append(phi_d)
+        if state['best'] is None or phi_d <= state['best'][0]:
+            state['best'] = (phi_d, m.copy())
+        return phi, grad
+
+    def cb(m):
+        state['n_it'] += 1
+        phi = state['history'][-1] if state['history'] else np.nan
+        if verb > 0:
+            print(f"   it {state['n_it']:3d}: misfit {phi:.4e}   "
+                  f"[{time.time() - state['t0']:.1f} s; "
+                  f"{state['n_eval']} evaluations]")
+        if callback is not None:
+            callback(state['n_it'], phi, m)
+
+    if bounds is not None:
+        lo, hi = bounds
+        bounds = list(zip(np.broadcast_to(lo, m0.shape),
+                          np.broadcast_to(hi, m0.shape)))
+
+    res = scipy.optimize.minimize(
+        fun, m0, jac=True, method=method, bounds=bounds, tol=tol,
+        callback=cb, options={'maxiter': maxiter})
+
+    # Leave the simulation holding the best-misfit model.
+    best_phi, best_m = state['best']
+    set_model(best_m)
+
+    return InversionResult(
+        model=sim.model, misfit=best_phi, misfit0=state['misfit0'],
+        n_iterations=state['n_it'], n_evaluations=state['n_eval'],
+        success=bool(res.success), message=str(res.message),
+        history=state['history'])

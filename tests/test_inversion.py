@@ -1,0 +1,82 @@
+"""Native inversion driver (emg3d_tpu.inversion.native).
+
+A tiny synthetic inversion: recover a conductive anomaly in a
+homogeneous background from noisy-free point-dipole data. The test
+asserts real misfit reduction and that the update concentrates at the
+anomaly — an end-to-end check of the adjoint-state gradient feeding an
+optimizer.
+"""
+
+import numpy as np
+import pytest
+
+import emg3d_tpu as emg3d
+from emg3d_tpu.inversion import native
+
+
+@pytest.mark.slow
+def test_lbfgs_recovers_anomaly():
+    grid = emg3d.TensorMesh([np.full(16, 150.0)] * 3, origin=(-1200,) * 3)
+
+    # True model: 10x conductive block in 1 Ohm.m background (log10).
+    lgres = np.zeros(grid.shape_cells)
+    lgres[6:10, 6:10, 6:10] = -1.0
+    model_true = emg3d.Model(grid, property_x=lgres,
+                             mapping='LgResistivity')
+
+    survey = emg3d.Survey(
+        sources=[emg3d.electrodes.TxElectricPoint((x, 0, 600, 0, 0))
+                 for x in (-450.0, 450.0)],
+        receivers=[emg3d.electrodes.RxElectricPoint((x, y, -600, 0, 0))
+                   for x in (-600.0, 0.0, 600.0)
+                   for y in (-300.0, 300.0)],
+        frequencies=1.0,
+        noise_floor=1e-17, relative_error=0.01)
+
+    sim_true = emg3d.Simulation(
+        survey=survey, model=model_true, gridding='same', verb=-1,
+        receiver_interpolation='linear')
+    sim_true.compute(observed=True)     # noise-free observed data
+
+    # Start from the homogeneous background.
+    model0 = emg3d.Model(grid, property_x=np.zeros(grid.shape_cells),
+                         mapping='LgResistivity')
+    sim = emg3d.Simulation(
+        survey=survey, model=model0, gridding='same', verb=-1,
+        receiver_interpolation='linear')
+
+    result = native.minimize(sim, maxiter=6, verb=0,
+                             bounds=(-2.0, 1.0))
+
+    assert result.misfit0 > 0
+    assert result.misfit < 0.35 * result.misfit0   # real progress
+    assert result.n_iterations >= 2
+    assert result.model is sim.model
+
+    # The recovered update must be conductive and concentrated at the
+    # anomaly: mean update inside the block clearly exceeds outside.
+    dm = np.asarray(result.model.property_x) - 0.0
+    inside = dm[6:10, 6:10, 6:10].mean()
+    outside = (dm.sum() - dm[6:10, 6:10, 6:10].sum()) / (dm.size - 64)
+    assert inside < -0.05                  # conductive (negative lg)
+    assert inside < outside - 0.03         # concentrated at the block
+
+
+def test_requires_isotropic():
+    grid = emg3d.TensorMesh([np.full(8, 100.0)] * 3, origin=(-400,) * 3)
+    model = emg3d.Model(grid, property_x=1.0, property_z=2.0)
+    survey = emg3d.Survey(
+        sources=emg3d.electrodes.TxElectricPoint((0, 0, 0, 0, 0)),
+        receivers=emg3d.electrodes.RxElectricPoint((200, 0, 0, 0, 0)),
+        frequencies=1.0, relative_error=0.05)
+    sim = emg3d.Simulation(survey=survey, model=model, gridding='same',
+                           verb=-1)
+    with pytest.raises(NotImplementedError, match='isotropic'):
+        native.minimize(sim)
+
+
+def test_result_repr():
+    r = native.InversionResult(
+        model=None, misfit=1.0, misfit0=10.0, n_iterations=3,
+        n_evaluations=5, success=True, message='ok')
+    assert 'iterations=3' in repr(r)
