@@ -25,12 +25,14 @@ def main():
     frequency = 1.0
     src = (0, 0, -950, 0, 0)        # x-dipole 50 m above the seafloor
 
-    # Automatic gridding: water (0.3) to background (1) Ωm.
+    # Automatic gridding: water (0.3) to background (1) Ωm.  The
+    # coarse min_width keeps the example fast on CPU; tighten it (and
+    # drop the cpu config above) for production TPU runs.
     grid = emg3d.construct_mesh(
         frequency=frequency, properties=[0.3, 1.0, 1.0, 0.3],
         center=(0, 0, -1000), seasurface=0.0,
-        domain=([-3000, 3000], [-500, 500], [-2500, 0]),
-        min_width_limits=100.0, verb=0)
+        domain=([-3000, 3000], [-400, 400], [-2400, 0]),
+        min_width_limits=200.0, verb=0)
     print(grid)
 
     # Model: sea water above -1000 m, halfspace below, 100 Ωm target.
@@ -45,7 +47,9 @@ def main():
     model = emg3d.Model(grid, property_x=res, mapping='Resistivity')
 
     efield, info = emg3d.solve_source(
-        model, src, frequency, return_info=True, verb=1)
+        model, src, frequency, return_info=True, verb=1,
+        linerelaxation=False)   # fewer kernels to compile; the auto
+    # grid is near-uniform, where line relaxation adds little.
     print(f"solver: {info['exit_message']} in {info['it_mg']} MG / "
           f"{info['it_ssl']} Krylov iterations")
 
