@@ -975,6 +975,20 @@ class Simulation:
         self.gridding_opts = gridding_opts
         self.model = model
 
+    @property
+    def layered(self):
+        """If True, use layered (1-D) computations.
+
+        Settable: assigning re-derives ``layered_opts`` (reference
+        simulations.py:1669-1676).
+        """
+        return self._layered
+
+    @layered.setter
+    def layered(self, layered):
+        self._set_layered_opts(layered, getattr(self, 'layered_opts',
+                                                {}))
+
     def _set_layered_opts(self, layered, layered_opts):
         """Set self.layered / self.layered_opts (simulations.py:1678).
 
@@ -982,7 +996,7 @@ class Simulation:
         one-skin-depth radius (at the lowest survey frequency and the
         minimum bottom-boundary conductivity).
         """
-        self.layered = bool(layered)
+        self._layered = bool(layered)
 
         if not self.layered:
             self.layered_opts = dict(layered_opts or {})
