@@ -558,6 +558,12 @@ def _cycle_correction(meta, arrays, r, var, first, smooth=_smooth_jit,
     cycle = var.cycle
     cycmax0 = var.cycmax
 
+    def track_smooth(e, s, arrs, c_lr_dir, nu, level):
+        # The level trace feeds the verb>3 cycle-QC visualization
+        # (reference appends per smoothing call, solver.py:840-846).
+        var.level_all.append(level)
+        return smooth(e, s, arrs, c_lr_dir, nu)
+
     def recurse(s, e, level, new_cycmax):
         shape, c_lr_dir, coarsen = meta[level]
         arrs = arrays[level]
@@ -574,10 +580,12 @@ def _cycle_correction(meta, arrays, r, var, first, smooth=_smooth_jit,
         while it < cycmax:
             if level == nlevels - 1:
                 # Coarsest grid: Gauss-Seidel as direct-ish solver.
-                e = smooth(e, s, arrs, c_lr_dir, var.nu_coarse)
+                e = track_smooth(e, s, arrs, c_lr_dir, var.nu_coarse,
+                                 level)
             else:
                 if var.nu_pre > 0:
-                    e = smooth(e, s, arrs, c_lr_dir, var.nu_pre)
+                    e = track_smooth(e, s, arrs, c_lr_dir, var.nu_pre,
+                                     level)
 
                 cs = _sj(restrict(e, s, arrs, coarsen))
                 ce = tuple(jnp.zeros_like(c) for c in cs)
@@ -585,7 +593,8 @@ def _cycle_correction(meta, arrays, r, var, first, smooth=_smooth_jit,
                 e = _sj(prolong(e, ce, arrs, coarsen))
 
                 if var.nu_post > 0:
-                    e = smooth(e, s, arrs, c_lr_dir, var.nu_post)
+                    e = track_smooth(e, s, arrs, c_lr_dir, var.nu_post,
+                                     level)
 
             it += 1
             cyc += 1
@@ -596,21 +605,51 @@ def _cycle_correction(meta, arrays, r, var, first, smooth=_smooth_jit,
     de = tuple(jnp.zeros_like(c) for c in r)
 
     if first and var.nu_init > 0:
-        de = smooth(de, r, arrs, c_lr_dir, var.nu_init)
+        de = track_smooth(de, r, arrs, c_lr_dir, var.nu_init, 0)
 
     if nlevels == 1:
-        de = smooth(de, r, arrs, c_lr_dir, var.nu_coarse)
+        de = track_smooth(de, r, arrs, c_lr_dir, var.nu_coarse, 0)
     else:
         if var.nu_pre > 0:
-            de = smooth(de, r, arrs, c_lr_dir, var.nu_pre)
+            de = track_smooth(de, r, arrs, c_lr_dir, var.nu_pre, 0)
         cs = _sj(restrict(de, r, arrs, coarsen))
         ce = tuple(jnp.zeros_like(c) for c in cs)
         ce = recurse(cs, ce, 1, cycmax0)
         de = _sj(prolong(de, ce, arrs, coarsen))
         if var.nu_post > 0:
-            de = smooth(de, r, arrs, c_lr_dir, var.nu_post)
+            de = track_smooth(de, r, arrs, c_lr_dir, var.nu_post, 0)
 
     return de
+
+
+def _cycle_qc(var):
+    """ASCII rendering of the first multigrid cycle's level walk.
+
+    Shown at verb>3 after the first cycle (reference
+    solver.py:1817-1843): each grid-spacing row draws a ``\\`` where
+    the cycle restricts through that level and a ``/`` where it
+    prolongates back, tracing the V/W/F shape from ``var.level_all``.
+    """
+    levels = np.asarray(var.level_all, dtype=np.int64)
+    if levels.size < 2:
+        return ""
+
+    steps = levels[1:] - levels[:-1]            # +1 down, -1 up
+    mids = np.minimum(levels[1:], levels[:-1]) + 1   # level row crossed
+    shown = min(steps.size, 70)
+
+    rows = ["       h_"]
+    for row in range(1, int(levels.max()) + 1):
+        chars = "".join(
+            "\\" if (mids[i] == row and steps[i] > 0)
+            else "/" if (mids[i] == row and steps[i] < 0)
+            else " " for i in range(shown))
+        rows.append(f"   {2 ** row:4}h_ {chars}")
+    out = "\n".join(rows) + "\n\n"
+    if steps.size > 70:
+        out += (f"  (Cycle-QC restricted to first 70 of "
+                f"{steps.size} steps.)\n")
+    return out
 
 
 class _Hierarchies:
@@ -713,6 +752,10 @@ def multigrid(model, sfield, efield, var, **kwargs):
         e_hi, e_lo, (meta, arrays), r, l2_last = _retry_transient(
             _cycle_step, "multigrid cycle")
         var.sc_dir, var.lr_dir = sc_next, lr_next
+        if var.first_cycle:
+            var.first_cycle = False
+            if var.verb > 3:
+                var.cprint(_cycle_qc(var), 3)
         first = False
 
         it += 1
@@ -841,6 +884,10 @@ def krylov(model, sfield, efield, var):
             e_hi, e_lo, r2, l2_last = _retry_transient(
                 _prec_step, "MG preconditioner cycle")
             var.sc_dir, var.lr_dir = sc_next, lr_next
+            if var.first_cycle:
+                var.first_cycle = False
+                if var.verb > 3:
+                    var.cprint(_cycle_qc(var), 3)
             first = False
             it += 1
             var.it += 1
