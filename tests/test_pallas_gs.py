@@ -1,0 +1,73 @@
+"""Split-real GS phase (ops.pallas_gs): the Pallas TPU kernel path.
+
+The split-real core must agree with the complex implementation
+(ops.smoothers.gauss_seidel_phase) to machine precision — same
+arithmetic, re/im carried explicitly.  The pallas_call wrapper is
+checked in interpreter mode (Mosaic compilation requires TPU
+hardware).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emg3d_tpu.ops import pallas_gs, smoothers
+
+
+def _random_problem(seed=5, nx=9, ny=8, nz=7):
+    rng = np.random.default_rng(seed)
+    hx = jnp.asarray(rng.uniform(20, 60, nx))
+    hy = jnp.asarray(rng.uniform(20, 60, ny))
+    hz = jnp.asarray(rng.uniform(20, 60, nz))
+    shp = [(nx, ny + 1, nz + 1), (nx + 1, ny, nz + 1),
+           (nx + 1, ny + 1, nz)]
+
+    def f(s):
+        return jnp.asarray(rng.normal(size=s) + 1j * rng.normal(size=s))
+
+    e = tuple(f(s) for s in shp)
+    s = tuple(f(s_) for s_ in shp)
+    eta = tuple(jnp.asarray(
+        -(rng.uniform(1e3, 5e3, (nx, ny, nz)))
+        + 1j * rng.uniform(1e2, 5e2, (nx, ny, nz))) for _ in range(3))
+    zeta = jnp.asarray(rng.uniform(1e3, 2e3, (nx, ny, nz)))
+    return e, s, eta, zeta, hx, hy, hz
+
+
+@pytest.mark.parametrize("color", [(0, 0, 0), (1, 0, 1), (0, 1, 1),
+                                   (1, 1, 1)])
+def test_split_equals_complex(color):
+    e, s, eta, zeta, hx, hy, hz = _random_problem()
+    ref = smoothers.gauss_seidel_phase(*e, *s, *eta, zeta, hx, hy, hz,
+                                       *color)
+    spl = pallas_gs.gauss_seidel_phase_split(*e, *s, *eta, zeta,
+                                             hx, hy, hz, *color)
+    for a, b in zip(ref, spl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12)
+
+
+def test_pallas_interpret_equals_complex():
+    e, s, eta, zeta, hx, hy, hz = _random_problem(seed=9)
+    ref = smoothers.gauss_seidel_phase(*e, *s, *eta, zeta, hx, hy, hz,
+                                       0, 0, 0)
+    pal = pallas_gs.gauss_seidel_phase_pallas(
+        *e, *s, *eta, zeta, hx, hy, hz, 0, 0, 0, interpret=True)
+    for a, b in zip(ref, pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12)
+
+
+def test_full_sweep_through_split_phases():
+    """A full 8-color sweep composed of split phases == complex sweep."""
+    e, s, eta, zeta, hx, hy, hz = _random_problem(seed=11)
+    shape = (hx.size, hy.size, hz.size)
+    ref = smoothers.gauss_seidel_sweep(*e, *s, *eta, zeta, hx, hy, hz,
+                                       False)
+    out = e
+    for c in smoothers.phase_colors(shape, False):
+        out = pallas_gs.gauss_seidel_phase_split(
+            *out, *s, *eta, zeta, hx, hy, hz, *c)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-11)
