@@ -232,3 +232,23 @@ class TestHankelFilter:
         approx = (np.exp(-3 * lam) / r[:, None]) @ filt.j1
         assert_allclose(approx, (1 - 3 / np.sqrt(9 + r ** 2)) / r,
                         rtol=1e-5)
+
+
+def test_custom_filter_object():
+    """ftarg={'dlf': obj} accepts any duck-typed filter (e.g. empymod's
+    DigitalFilter: .base/.cos/.sin/.factor), not just the built-in."""
+    from emg3d_tpu import transforms
+
+    ours = transforms.design_filter()
+
+    class ThirdParty:
+        name = "thirdparty"
+        base = ours.base
+        cos = ours.cos
+        sin = ours.sin
+        factor = ours.factor
+
+    f = Fourier(time=np.logspace(-2, 1, 9), fmin=1e-3, fmax=1e2,
+                signal=-1, ftarg={'dlf': ThirdParty()})
+    assert f._filt.name == "thirdparty"
+    assert f.freq_required.size > 0
