@@ -172,3 +172,22 @@ def test_invalid_sslsolver():
     sfield = fields.get_source_field(grid, (0, 0, 0, 0, 0), 1.0)
     with pytest.raises(ValueError, match="sslsolver"):
         solver.solve(model, sfield, sslsolver='nonsense', verb=0)
+
+
+def test_bicgstab_triaxial():
+    """Triaxial anisotropy with the default MG-preconditioned BiCGSTAB
+    (BASELINE config 3), validated against the dense direct solve."""
+    grid, model, sfield = fullspace_setup(8, case="tri")
+    efield, info = solver.solve(model, sfield, verb=-1, tol=1e-8,
+                                return_info=True)
+    assert info["exit_message"] == "CONVERGED"
+
+    vmodel = models.VolumeModel(model, sfield)
+    A = alternatives.dense_matrix(grid, vmodel)
+    mask = alternatives.interior_mask(grid)
+    b = alternatives.field_to_cvec(sfield)
+    e = alternatives.field_to_cvec(efield)
+    x = np.zeros_like(b)
+    x[mask] = np.linalg.solve(A[np.ix_(mask, mask)], b[mask])
+    err = np.linalg.norm(e[mask] - x[mask]) / np.linalg.norm(x[mask])
+    assert err < 1e-5
