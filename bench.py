@@ -63,6 +63,10 @@ def main():
         global N
         N = min(N, 48)
     else:
+        # Bound the rebirth loop's total wall-clock so the contractual
+        # JSON line (CPU-fallback if need be) always lands within the
+        # driver's budget — an unhealthy tunnel must not eat hours.
+        os.environ.setdefault("EMG3D_TPU_REEXEC_BUDGET_S", "240")
         try:
             backend.reexec_if_born_bad()
         except backend.HealthError:
@@ -87,7 +91,7 @@ def main():
     else:
         raise last
     if info["exit"] != 0:
-        print(json.dumps({"metric": f"fullspace_{N}c_to_1e-6",
+        print(json.dumps({"metric": f"fullspace_{N}c_solve_to_1e-6",
                           "value": -1.0, "unit": "s",
                           "vs_baseline": 0.0,
                           "error": info["exit_message"]}))

@@ -46,8 +46,13 @@ Environment knobs:
   is re-raised.
 - ``EMG3D_TPU_PROBE_INTERVAL`` (seconds, default 20): health-probe
   cadence while waiting.
-- ``EMG3D_TPU_REEXEC`` (default 20): maximum process re-executions
+- ``EMG3D_TPU_REEXEC`` (default 40): maximum process re-executions
   for :func:`reexec_if_born_bad`.
+- ``EMG3D_TPU_REEXEC_BUDGET_S`` (seconds, default unbounded): total
+  wall-clock the rebirth loop may consume across all re-executions;
+  when exhausted :func:`reexec_if_born_bad` raises
+  :class:`HealthError` so the caller can fall back (e.g. bench.py's
+  tagged CPU measurement) instead of eating a driver's whole budget.
 """
 
 import os
@@ -169,6 +174,13 @@ def reexec_if_born_bad(argv=None, sleep=None):
     raises :class:`HealthError`.  The sleep before each rebirth
     escalates (15 s → 5 min) because bad-birth periods can last hours.
 
+    Additionally, ``EMG3D_TPU_REEXEC_BUDGET_S`` caps the *wall-clock*
+    of the whole rebirth loop: the first call stamps a start time into
+    ``EMG3D_TPU_REEXEC_T0`` (inherited across re-executions), and any
+    call past the budget raises :class:`HealthError` immediately so
+    time-boxed callers get their fallback path instead of hours of
+    escalating sleeps.
+
     No-op (returns the attempt count) when the process is healthy or
     when running on a local backend where :func:`probe` passes anyway.
     """
@@ -177,6 +189,13 @@ def reexec_if_born_bad(argv=None, sleep=None):
 
     n = int(os.environ.get("EMG3D_TPU_REEXEC_N", "0"))
     limit = int(os.environ.get("EMG3D_TPU_REEXEC", "40"))
+    budget_s = os.environ.get("EMG3D_TPU_REEXEC_BUDGET_S")
+    t0 = float(os.environ.setdefault("EMG3D_TPU_REEXEC_T0",
+                                     str(time.time())))
+    if budget_s is not None and time.time() - t0 > float(budget_s):
+        raise HealthError(
+            f"rebirth loop exceeded its wall-clock budget "
+            f"({budget_s}s) after {n} re-executions")
 
     # Probe in a CHILD process with a hard timeout: a bad channel can
     # HANG device RPCs indefinitely (not just fail them), and a hung
@@ -209,6 +228,12 @@ def reexec_if_born_bad(argv=None, sleep=None):
             f"in a row (limit {limit})")
     if sleep is None:
         sleep = min(15.0 * 1.35 ** n, 300.0)
+    if budget_s is not None and time.time() - t0 + sleep > float(budget_s):
+        # Sleeping would overshoot the budget: fail over now rather
+        # than burn the caller's remaining wall-clock on a nap.
+        raise HealthError(
+            f"rebirth loop would exceed its wall-clock budget "
+            f"({budget_s}s) sleeping before rebirth {n + 1}")
     warnings.warn(
         f"emg3d-tpu: process born with an unhealthy backend channel "
         f"(rebirth {n + 1}/{limit}); re-executing in {sleep:.0f}s.",
@@ -232,12 +257,19 @@ def retry_transient(thunk, what="device step", rebuild=None):
     — ``rebuild()`` is called (when given) to re-upload state from
     host-side sources before one final attempt.
     """
+    global _was_healthy
     budget = _max_wait()
     t0 = time.monotonic()
     rebuilt = False
     while True:
         try:
-            return thunk()
+            result = thunk()
+            # A synchronized device step succeeding implies compute and
+            # D2H both work: mark the channel healthy so a later mid-run
+            # failure window is treated as transient (wait-out), not as
+            # a born-bad channel — even if probe() was never called.
+            _was_healthy = True
+            return result
         except Exception as exc:
             if not is_transient(exc):
                 raise

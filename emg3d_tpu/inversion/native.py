@@ -55,6 +55,43 @@ class InversionResult:
                 f"success={self.success})")
 
 
+def _make_objective(sim):
+    """(fun, set_model, m0) for ``sim`` in the parameter-vector space.
+
+    Parameter-vector convention: Fortran-order flattening throughout
+    (matching Model's flat-input convention, models.py) — m0, the
+    gradient, and set_model's reshape must all agree or the gradient
+    the optimizer sees is permuted relative to its parameter vector.
+    ``fun(m) -> (misfit, grad)`` runs a forward + adjoint pass.
+    """
+    if sim.model.case != 'isotropic':
+        raise NotImplementedError(
+            "native inversion currently supports isotropic models; "
+            f"got '{sim.model.case}'.")
+
+    grid = sim.model.grid
+    mapping = sim.model.map.name
+    shape = sim.model.shape
+    m0 = np.asarray(sim.model.property_x, dtype=np.float64).ravel(order='F')
+
+    def set_model(m):
+        sim.model = models.Model(
+            grid, property_x=np.asarray(m).reshape(shape, order='F').copy(),
+            mapping=mapping)
+        # 'computed' resets the synthetic data, misfit and gradient so
+        # the next access recomputes with the new model ('keepresults'
+        # would keep them — reference clean semantics).
+        sim.clean('computed')
+
+    def fun(m):
+        set_model(m)
+        phi_d = float(sim.misfit)
+        grad = np.asarray(sim.gradient, dtype=np.float64).ravel(order='F')
+        return phi_d, grad
+
+    return fun, set_model, m0
+
+
 def minimize(simulation, maxiter=10, method='L-BFGS-B', bounds=None,
              tol=1e-8, regularization=0.0, reference_model=None,
              callback=None, verb=1):
@@ -93,34 +130,16 @@ def minimize(simulation, maxiter=10, method='L-BFGS-B', bounds=None,
     import scipy.optimize
 
     sim = simulation
-    if sim.model.case != 'isotropic':
-        raise NotImplementedError(
-            "native inversion currently supports isotropic models; "
-            f"got '{sim.model.case}'.")
-
-    grid = sim.model.grid
-    mapping = sim.model.map.name
-    shape = sim.model.shape
-    m0 = np.asarray(sim.model.property_x, dtype=np.float64).ravel()
+    data_fun, set_model, m0 = _make_objective(sim)
     m_ref = (m0.copy() if reference_model is None
-             else np.asarray(reference_model, dtype=np.float64).ravel())
+             else np.asarray(reference_model,
+                             dtype=np.float64).ravel(order='F'))
 
     state = {'n_eval': 0, 'n_it': 0, 'best': None, 'history': [],
              'misfit0': None, 't0': time.time()}
 
-    def set_model(m):
-        sim.model = models.Model(
-            grid, property_x=m.reshape(shape, order='F').copy(),
-            mapping=mapping)
-        # 'computed' resets the synthetic data, misfit and gradient so
-        # the next access recomputes with the new model ('keepresults'
-        # would keep them — reference clean semantics).
-        sim.clean('computed')
-
     def fun(m):
-        set_model(m)
-        phi_d = float(sim.misfit)
-        grad = np.asarray(sim.gradient, dtype=np.float64).ravel()
+        phi_d, grad = data_fun(m)
         state['n_eval'] += 1
         if state['misfit0'] is None:
             state['misfit0'] = phi_d

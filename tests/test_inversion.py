@@ -62,6 +62,61 @@ def test_lbfgs_recovers_anomaly():
     assert inside < outside - 0.03         # concentrated at the block
 
 
+@pytest.mark.slow
+def test_objective_gradient_ordering():
+    """FD directional derivative on an asymmetric, non-cubic model.
+
+    Pins the parameter-vector convention of the native driver: the
+    gradient returned by the objective must live in the SAME (F-order)
+    flattening as the parameter vector.  A C/F mix-up permutes the
+    gradient; with a non-cubic grid and an asymmetric start model the
+    directional-derivative check then fails by construction.
+    """
+    rng = np.random.default_rng(11)
+    grid = emg3d.TensorMesh(
+        [np.full(16, 150.0), np.full(8, 300.0), np.full(12, 200.0)],
+        origin=(-1200.0, -1200.0, -1200.0))
+
+    # Observed data from a conductive block (asymmetric position).
+    lg_true = np.zeros(grid.shape_cells)
+    lg_true[2:8, 1:4, 6:10] = -0.7
+    survey = emg3d.Survey(
+        sources=emg3d.electrodes.TxElectricPoint((-300, 0, 700, 0, 0)),
+        receivers=[emg3d.electrodes.RxElectricPoint((x, y, -700, 0, 0))
+                   for x in (-600.0, 300.0) for y in (-300.0, 450.0)],
+        frequencies=1.0, noise_floor=1e-17, relative_error=0.01)
+    sim_true = emg3d.Simulation(
+        survey=survey, gridding='same', verb=-1,
+        receiver_interpolation='linear',
+        model=emg3d.Model(grid, lg_true, mapping='LgResistivity'))
+    sim_true.compute(observed=True)
+
+    # Start model: smooth but transpose-ASYMMETRIC (gradient over it is
+    # not permutation-invariant).
+    lg0 = 0.1 * rng.standard_normal(grid.shape_cells)
+    sim = emg3d.Simulation(
+        survey=survey, gridding='same', verb=-1,
+        receiver_interpolation='linear',
+        model=emg3d.Model(grid, lg0, mapping='LgResistivity'))
+
+    fun, set_model, m0 = native._make_objective(sim)
+    np.testing.assert_allclose(
+        m0, lg0.ravel(order='F'))          # convention itself
+
+    phi0, grad = fun(m0)
+    assert phi0 > 0 and np.linalg.norm(grad) > 0
+    d = rng.standard_normal(m0.size)
+    d /= np.linalg.norm(d)
+    eps = 1e-3
+
+    def misfit_only(m):                    # forward pass, no adjoint
+        set_model(m)
+        return float(sim.misfit)
+
+    fd = (misfit_only(m0 + eps * d) - misfit_only(m0 - eps * d)) / (2 * eps)
+    assert abs(fd - grad @ d) < 0.02 * abs(fd)
+
+
 def test_requires_isotropic():
     grid = emg3d.TensorMesh([np.full(8, 100.0)] * 3, origin=(-400,) * 3)
     model = emg3d.Model(grid, property_x=1.0, property_z=2.0)
