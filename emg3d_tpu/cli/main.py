@@ -80,7 +80,10 @@ def main(args=None):
         print(utils.Report())
         return
 
-    if len(sys.argv) == 1 and not os.path.isfile('emg3d.cfg'):
+    # Bare invocation without a config file: print the pointer instead
+    # of failing (checks the effective args, not sys.argv, so
+    # programmatic cli([...]) calls are never hijacked).
+    if not args and not os.path.isfile('emg3d.cfg'):
         from emg3d_tpu import __version__
         print(parser.description)
         print(f"=> Type `emg3d-tpu --help` for more info "

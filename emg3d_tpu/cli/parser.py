@@ -1,8 +1,14 @@
-"""Config-file parsing for the CLI (reference emg3d/cli/parser.py:26-455).
+"""CLI configuration: ``emg3d.cfg`` INI schema + terminal overrides.
 
-The `emg3d.cfg` INI format is kept compatible: sections [files],
-[simulation], [solver_opts], [gridding_opts], [noise_opts], [layered],
-[data]; terminal arguments overrule config values.
+The INI *surface* is format-compatible with the reference CLI
+(emg3d/cli/parser.py:26-455): sections ``[files]``, ``[simulation]``,
+``[solver_opts]``, ``[gridding_opts]``, ``[noise_opts]``, ``[layered]``,
+``[data]``; terminal arguments overrule config-file values.
+
+The implementation is schema-driven: every section is a ``{key:
+converter}`` table fed through one engine (:func:`_take`) that converts
+known keys and rejects unknown ones, instead of per-key imperative
+plumbing.  Adding a config option means adding one table row.
 """
 
 import configparser
@@ -12,294 +18,250 @@ from pathlib import Path
 
 __all__ = ['parse_config_file']
 
+# Accepted data-file extensions; anything else defaults to HDF5.
+_EXTENSIONS = ('.h5', '.json', '.npz')
+
+_BOOL_STATES = configparser.ConfigParser.BOOLEAN_STATES
+
+
+# -------------------------- value converters --------------------------
+
+def _bool(raw):
+    try:
+        return _BOOL_STATES[raw.strip().lower()]
+    except KeyError:
+        raise ValueError(f"Not a boolean: {raw!r}") from None
+
+
+def _floats(raw):
+    """Comma-separated floats -> list."""
+    return [float(v) for v in raw.split(',')]
+
+
+def _strings(raw):
+    """Comma-separated strings -> stripped list (empties dropped)."""
+    return [v.strip() for v in raw.split(',') if v.strip()]
+
+
+def _xyz(raw):
+    """Per-direction value: ``;``-separated x;y;z parts.
+
+    Each part is ``None``/``True``/``False`` or a comma-separated float
+    list; a single part applies to all directions, three parts become
+    an ``{'x': ..., 'y': ..., 'z': ...}`` dict.
+    """
+    def one(part):
+        low = part.lower()
+        if 'none' in low:
+            return None
+        if 'true' in low:
+            return True
+        if 'false' in low:
+            return False
+        return _floats(part)
+
+    parts = [one(p) for p in raw.split(';')]
+    if len(parts) == 1:
+        return parts[0]
+    return dict(zip('xyz', parts))
+
+
+# ---------------------------- section specs ----------------------------
+#
+# {ini-key: converter}; `_take` applies the converter to each present
+# key and raises TypeError for any key not in the spec.
+
+_SOLVER_SPEC = {
+    'sslsolver': _bool, 'semicoarsening': _bool, 'linerelaxation': _bool,
+    'plain': _bool, 'cycle': str, 'tol': float, 'tol_gradient': float,
+    'verb': int, 'maxit': int, 'nu_init': int, 'nu_pre': int,
+    'nu_coarse': int, 'nu_post': int, 'clevel': int,
+}
+
+_NOISE_SPEC = {
+    'min_offset': float, 'max_offset': float, 'mean_noise': float,
+    'ntype': str, 'add_noise': _bool,
+}
+
+_DATA_SPEC = {
+    'sources': _strings, 'receivers': _strings, 'frequencies': _strings,
+    'remove_empty': _bool,
+}
+
+_GRIDDING_SPEC = {
+    'properties': _floats, 'center': _floats, 'cell_number': _floats,
+    'min_width_pps': _floats, 'expand': _floats,
+    'domain': _xyz, 'distance': _xyz, 'stretching': _xyz,
+    'min_width_limits': _xyz, 'center_on_edge': _xyz,
+    'mapping': str, 'vector': str,
+    'frequency': float, 'seasurface': float, 'max_buffer': float,
+    'lambda_factor': float, 'lambda_from_center': _bool, 'verb': int,
+}
+
+_LAYERED_SPEC = {
+    'method': str, 'merge': _bool,
+    'radius': float, 'minor': float, 'factor': float, 'check_foci': _bool,
+}
+
+_SIMULATION_SPEC = {
+    'max_workers': int, 'layered': _bool, 'gridding': str,
+    'file_dir': str, 'name': str, 'receiver_interpolation': str,
+    # Deprecated location for noise options (belong in [noise_opts]).
+    'min_offset': float, 'max_offset': float, 'mean_noise': float,
+    'ntype': str,
+}
+
+
+def _take(cfg, section, spec):
+    """Convert a section through its spec; reject unknown keys."""
+    if section not in cfg.sections():
+        return {}
+    raw = dict(cfg.items(section))
+    out = {}
+    for key, conv in spec.items():
+        if key in raw:
+            out[key] = conv(raw.pop(key))
+    if raw:
+        raise TypeError(
+            f"Unexpected parameter in [{section}]: {list(raw)}.")
+    return out
+
+
+# --------------------------- main entry point ---------------------------
 
 def parse_config_file(args_dict):
-    """Read and parse the configuration file; apply terminal overrides.
+    """Read the config file, apply terminal overrides.
 
-    Returns (conf-dict, term-dict).
+    Returns ``(cfg, term)``: ``cfg`` holds ``files``,
+    ``simulation_options``, ``data`` and ``noise_kwargs``; ``term`` the
+    terminal-level switches (function, verbosity, dry_run, clean,
+    config_file).
     """
-    config = args_dict.pop('config')
-    configfile = os.path.abspath(config)
-    cfg = configparser.ConfigParser(inline_comment_prefixes='#')
+    args = dict(args_dict)
 
-    if os.path.isfile(configfile):
-        with open(configfile) as f:
+    cfg = configparser.ConfigParser(inline_comment_prefixes='#')
+    config = args.pop('config')
+    config_file = os.path.abspath(config)
+    if os.path.isfile(config_file):
+        with open(config_file) as f:
             cfg.read_file(f)
     elif config == '.':
-        configfile = config  # '.' => deliberately no config file.
+        config_file = config    # '.' => deliberately no config file.
 
-    # Terminal arguments.
-    term = {'config_file': configfile}
-    for key in ['verbosity', 'nproc', 'dry_run', 'clean', 'layered']:
-        term[key] = args_dict.pop(key)
-
-    term['function'] = 'forward'
-    for key in ['forward', 'misfit', 'gradient']:
-        if args_dict.pop(key):
-            term['function'] = key
-
-    for key in ['path', 'survey', 'model', 'output', 'save', 'load',
-                'cache']:
-        term[key] = args_dict.pop(key)
-
-    if args_dict:
+    # --- terminal switches -------------------------------------------
+    funcs = [f for f in ('forward', 'misfit', 'gradient') if args.pop(f)]
+    term = {
+        'config_file': config_file,
+        'function': funcs[0] if funcs else 'forward',
+        'verbosity': int(_clip(args.pop('verbosity'), -1, 2)),
+        'dry_run': args.pop('dry_run'),
+        'clean': args.pop('clean'),
+    }
+    nproc = args.pop('nproc')
+    layered = args.pop('layered')
+    file_overrides = {k: args.pop(k) for k in
+                      ('path', 'survey', 'model', 'output', 'save',
+                       'load', 'cache')}
+    if args:
         raise TypeError(
-            f"Unexpected parameter in **args_dict: "
-            f"{list(args_dict.keys())}.")
+            f"Unexpected parameter in **args_dict: {list(args)}.")
 
-    term['verbosity'] = int(min(max(term['verbosity'], -1), 2))
-    if term['nproc'] is not None:
-        term['nproc'] = int(max(term['nproc'], 1))
+    # --- [files] ------------------------------------------------------
+    files = _resolve_files(cfg, file_overrides)
 
-    # [files]
-    if 'files' not in cfg.sections():
-        cfg.add_section('files')
-    all_files = dict(cfg.items('files'))
-
-    path = term.pop('path')
-    if path is None:
-        path = all_files.pop('path', '.')
-    path = os.path.abspath(path)
-
-    files = {'save': False, 'load': False, 'cache': False,
-             'survey': 'survey', 'model': 'model', 'output': 'emg3d_out'}
-    logfile = os.path.join(path, 'emg3d_out.log')
-    for key, value in files.items():
-        config_or_default = all_files.pop(key, value)
-        fname = term.pop(key)
-        if fname is None:
-            fname = config_or_default
-        if not fname:
-            continue
-        ffile = Path(os.path.join(path, fname))
-        if ffile.suffix not in ['.h5', '.json', '.npz']:
-            ffile = ffile.with_suffix('.h5')
-        if key == 'output':
-            logfile = str(ffile.with_suffix('.log'))
-        files[key] = str(ffile)
-
-    cache = files.pop('cache')
-    if cache:
-        # Resume semantics: always save; load only when it exists already.
-        files['save'] = cache
-        files['load'] = cache if os.path.isfile(cache) else False
-    files['log'] = logfile
-
-    if all_files:
-        raise TypeError(
-            f"Unexpected parameter in [files]: {list(all_files.keys())}.")
-
-    # [simulation]
-    simulation = {}
-    if 'simulation' not in cfg.sections():
-        cfg.add_section('simulation')
-    all_sim = dict(cfg.items('simulation'))
-
-    key = 'max_workers'
-    all_sim.pop(key, None)
-    if term['nproc'] is not None:
-        simulation[key] = term['nproc']
-    elif cfg.has_option('simulation', key):
-        simulation[key] = cfg.getint('simulation', key)
-    del term['nproc']
-
-    key = 'layered'
-    all_sim.pop(key, None)
-    if term[key] is not None:
-        simulation[key] = term[key]
-    elif cfg.has_option('simulation', key):
-        simulation[key] = cfg.getboolean('simulation', key)
-    del term[key]
-
-    for key in ['gridding', 'file_dir']:
-        if cfg.has_option('simulation', key):
-            all_sim.pop(key)
-            simulation[key] = cfg.get('simulation', key)
-
-    key = 'name'
-    if cfg.has_option('simulation', key):
-        all_sim.pop(key)
-        simulation[key] = cfg.get('simulation', key)
-    else:
-        simulation[key] = "emg3d-tpu CLI run"
-
-    key = 'receiver_interpolation'
-    if cfg.has_option('simulation', key):
-        all_sim.pop(key)
-        simulation[key] = cfg.get('simulation', key)
-    elif term['function'] == 'gradient':
-        simulation[key] = 'linear'  # Gradient needs 'linear'.
-
-    # Deprecated noise keys in [simulation].
-    noise_kwargs = {}
-    for key in ['min_offset', 'mean_noise', 'max_offset']:
-        if cfg.has_option('simulation', key):
-            all_sim.pop(key)
-            noise_kwargs[key] = cfg.getfloat('simulation', key)
-    key = 'ntype'
-    if cfg.has_option('simulation', key):
-        all_sim.pop(key)
-        noise_kwargs[key] = cfg.get('simulation', key)
-
-    if all_sim:
-        raise TypeError(
-            f"Unexpected parameter in [simulation]: "
-            f"{list(all_sim.keys())}.")
-
+    # --- [simulation] (+ deprecated noise keys) -----------------------
+    sim = _take(cfg, 'simulation', _SIMULATION_SPEC)
+    noise_kwargs = {k: sim.pop(k) for k in
+                    ('min_offset', 'max_offset', 'mean_noise', 'ntype')
+                    if k in sim}
     if noise_kwargs:
         warnings.warn(
             "emg3d: noise options belong in their own section "
             "[noise_opts]; providing them in [simulation] is deprecated.",
             FutureWarning)
 
-    # [noise_opts]
-    if 'noise_opts' in cfg.sections():
-        all_noise = dict(cfg.items('noise_opts'))
-        for key in ['min_offset', 'max_offset', 'mean_noise']:
-            if cfg.has_option('noise_opts', key):
-                all_noise.pop(key)
-                noise_kwargs[key] = cfg.getfloat('noise_opts', key)
-        for key, get in [('ntype', cfg.get), ('add_noise', cfg.getboolean)]:
-            if cfg.has_option('noise_opts', key):
-                all_noise.pop(key)
-                noise_kwargs[key] = get('noise_opts', key)
-        if all_noise:
-            raise TypeError(
-                f"Unexpected parameter in [noise_opts]: "
-                f"{list(all_noise.keys())}.")
+    if nproc is not None:
+        sim['max_workers'] = max(int(nproc), 1)
+    if layered is not None:
+        sim['layered'] = layered
+    sim.setdefault('name', 'emg3d-tpu CLI run')
+    if ('receiver_interpolation' not in sim
+            and term['function'] == 'gradient'):
+        sim['receiver_interpolation'] = 'linear'  # gradient needs linear
 
-    # [layered]
-    if 'layered' in cfg.sections():
-        layered_opts = {}
-        all_layered = dict(cfg.items('layered'))
-        if cfg.has_option('layered', 'method'):
-            all_layered.pop('method')
-            layered_opts['method'] = cfg.get('layered', 'method')
-        if cfg.has_option('layered', 'merge'):
-            all_layered.pop('merge')
-            layered_opts['merge'] = cfg.getboolean('layered', 'merge')
+    # --- [noise_opts] (authoritative location) ------------------------
+    noise_kwargs.update(_take(cfg, 'noise_opts', _NOISE_SPEC))
 
-        ellipse = {}
-        for key in ['radius', 'minor', 'factor']:
-            if cfg.has_option('layered', key):
-                all_layered.pop(key)
-                ellipse[key] = float(cfg.get('layered', key))
-        if cfg.has_option('layered', 'check_foci'):
-            all_layered.pop('check_foci')
-            ellipse['check_foci'] = cfg.getboolean('layered', 'check_foci')
-        if ellipse:
-            layered_opts['ellipse'] = ellipse
+    # --- [layered] -> simulation layered_opts -------------------------
+    layered_opts = _take(cfg, 'layered', _LAYERED_SPEC)
+    ellipse = {k: layered_opts.pop(k) for k in
+               ('radius', 'minor', 'factor', 'check_foci')
+               if k in layered_opts}
+    if ellipse:
+        layered_opts['ellipse'] = ellipse
+    if layered_opts:
+        sim['layered_opts'] = layered_opts
 
-        if all_layered:
-            raise TypeError(
-                f"Unexpected parameter in [layered]: "
-                f"{list(all_layered.keys())}.")
-        if layered_opts:
-            simulation['layered_opts'] = layered_opts
+    # --- [solver_opts] / [gridding_opts] -> nested options ------------
+    for section, spec, dest in (
+            ('solver_opts', _SOLVER_SPEC, 'solver_opts'),
+            ('gridding_opts', _GRIDDING_SPEC, 'gridding_opts')):
+        opts = _take(cfg, section, spec)
+        if opts:
+            sim[dest] = opts
 
-    # [solver_opts]
-    if 'solver_opts' in cfg.sections():
-        solver = {}
-        all_solver = dict(cfg.items('solver_opts'))
-        for key in ['sslsolver', 'semicoarsening', 'linerelaxation',
-                    'plain']:
-            if cfg.has_option('solver_opts', key):
-                all_solver.pop(key)
-                solver[key] = cfg.getboolean('solver_opts', key)
-        if cfg.has_option('solver_opts', 'cycle'):
-            all_solver.pop('cycle')
-            solver['cycle'] = cfg.get('solver_opts', 'cycle')
-        for key in ['tol', 'tol_gradient']:
-            if cfg.has_option('solver_opts', key):
-                all_solver.pop(key)
-                solver[key] = float(cfg.get('solver_opts', key))
-        for key in ['verb', 'maxit', 'nu_init', 'nu_pre', 'nu_coarse',
-                    'nu_post', 'clevel']:
-            if cfg.has_option('solver_opts', key):
-                all_solver.pop(key)
-                solver[key] = cfg.getint('solver_opts', key)
-        if all_solver:
-            raise TypeError(
-                f"Unexpected parameter in [solver_opts]: "
-                f"{list(all_solver.keys())}.")
-        if solver:
-            simulation['solver_opts'] = solver
+    # --- [data] -------------------------------------------------------
+    data = _take(cfg, 'data', _DATA_SPEC)
+    # Empty selection strings mean "no selection".
+    data = {k: v for k, v in data.items() if v or k == 'remove_empty'}
 
-    # [data]
-    data = {}
-    if 'data' in cfg.sections():
-        all_data = dict(cfg.items('data'))
-        for key in ['sources', 'receivers', 'frequencies']:
-            value = all_data.pop(key, False)
-            if value:
-                data[key] = [v.strip() for v in value.split(',')]
-        if cfg.has_option('data', 'remove_empty'):
-            all_data.pop('remove_empty')
-            data['remove_empty'] = cfg.getboolean('data', 'remove_empty')
-        if all_data:
-            raise TypeError(
-                f"Unexpected parameter in [data]: {list(all_data.keys())}.")
-
-    # [gridding_opts]
-    if 'gridding_opts' in cfg.sections():
-        grid = {}
-        all_grid = dict(cfg.items('gridding_opts'))
-
-        for key in ['properties', 'center', 'cell_number', 'min_width_pps',
-                    'expand']:
-            if cfg.has_option('gridding_opts', key):
-                all_grid.pop(key)
-                grid[key] = [float(v) for v in
-                             cfg.get('gridding_opts', key).split(',')]
-
-        # Per-direction values: ';'-separated x;y;z lists.
-        for key in ['domain', 'distance', 'stretching', 'min_width_limits',
-                    'center_on_edge']:
-            if cfg.has_option('gridding_opts', key):
-                all_grid.pop(key)
-                out = []
-                for p in cfg.get('gridding_opts', key).split(';'):
-                    if 'none' in p.lower():
-                        out.append(None)
-                    elif 'true' in p.lower():
-                        out.append(True)
-                    elif 'false' in p.lower():
-                        out.append(False)
-                    else:
-                        out.append([float(v) for v in p.split(',')])
-                if len(out) == 1:
-                    out = out[0]
-                else:
-                    out = {'x': out[0], 'y': out[1], 'z': out[2]}
-                grid[key] = out
-
-        for key in ['mapping', 'vector']:
-            if cfg.has_option('gridding_opts', key):
-                all_grid.pop(key)
-                grid[key] = cfg.get('gridding_opts', key)
-
-        for key in ['frequency', 'seasurface', 'max_buffer',
-                    'lambda_factor']:
-            if cfg.has_option('gridding_opts', key):
-                all_grid.pop(key)
-                grid[key] = float(cfg.get('gridding_opts', key))
-
-        if cfg.has_option('gridding_opts', 'verb'):
-            all_grid.pop('verb')
-            grid['verb'] = cfg.getint('gridding_opts', 'verb')
-
-        if cfg.has_option('gridding_opts', 'lambda_from_center'):
-            all_grid.pop('lambda_from_center')
-            grid['lambda_from_center'] = cfg.getboolean(
-                'gridding_opts', 'lambda_from_center')
-
-        if all_grid:
-            raise TypeError(
-                f"Unexpected parameter in [gridding_opts]: "
-                f"{list(all_grid.keys())}")
-        if grid:
-            simulation['gridding_opts'] = grid
-
-    out = {'files': files, 'simulation_options': simulation, 'data': data,
+    out = {'files': files, 'simulation_options': sim, 'data': data,
            'noise_kwargs': noise_kwargs}
     return out, term
+
+
+def _clip(value, lo, hi):
+    return min(max(value, lo), hi)
+
+
+def _resolve_files(cfg, overrides):
+    """Absolute data-file paths: terminal > config > defaults.
+
+    Every name gets an accepted extension (default ``.h5``); the log
+    file always sits next to the output file.  ``cache`` is resume
+    shorthand: always save to it, load from it only once it exists.
+    """
+    section = dict(cfg.items('files')) if 'files' in cfg.sections() else {}
+
+    path = overrides['path'] or section.pop('path', '.')
+    path = os.path.abspath(path)
+
+    defaults = {'survey': 'survey', 'model': 'model',
+                'output': 'emg3d_out', 'save': False, 'load': False,
+                'cache': False}
+    files = {}
+    logfile = os.path.join(path, 'emg3d_out.log')
+    for key, default in defaults.items():
+        name = overrides.get(key)
+        if name is None:
+            name = section.pop(key, default)
+        if not name:
+            files[key] = False
+            continue
+        fpath = Path(path, name)
+        if fpath.suffix not in _EXTENSIONS:
+            fpath = fpath.with_suffix('.h5')
+        if key == 'output':
+            logfile = str(fpath.with_suffix('.log'))
+        files[key] = str(fpath)
+
+    if section:
+        raise TypeError(
+            f"Unexpected parameter in [files]: {list(section)}.")
+
+    cache = files.pop('cache')
+    if cache:
+        files['save'] = cache
+        files['load'] = cache if os.path.isfile(cache) else False
+    files['log'] = logfile
+    return files
