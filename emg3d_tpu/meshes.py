@@ -306,15 +306,16 @@ def origin_and_widths(frequency, properties, center, domain=None, vector=None,
             "At least one of `domain`/`distance`/`vector` must be provided."
         )
 
-    # Trim a provided vector to the domain; discard if too short.
+    # Trim a provided vector to the domain (keeping one node beyond
+    # each edge); a vector too short after trimming is discarded.
     if vector is not None:
-        vmin = np.where(vector <= domain[0])[0]
-        if vmin.size > 1:
-            vector = vector[vmin[-1]:]
-        vmax = np.where(vector >= domain[1])[0]
-        if vmax.size > 1:
-            vector = vector[:vmax[1]]
-        if len(vector) < 3:
+        below = np.flatnonzero(vector <= domain[0])
+        if below.size > 1:
+            vector = vector[below[-1]:]
+        above = np.flatnonzero(vector >= domain[1])
+        if above.size > 1:
+            vector = vector[:above[1]]
+        if vector.size < 3:
             vector = None
 
     if seasurface is not None:
@@ -325,21 +326,18 @@ def origin_and_widths(frequency, properties, center, domain=None, vector=None,
     if vector is None and center_on_edge:
         vector = np.r_[center - dmin, center, center + dmin]
 
-    # Center part of the grid.
+    # Core segment of the grid (the part that is never stretched).
     if vector is None:
-        center_widths = np.atleast_1d(dmin)
-        center_edges = np.r_[center - dmin / 2, center + dmin / 2]
+        core = _Segment(center - dmin / 2, center + dmin / 2,
+                        np.atleast_1d(dmin))
         had_vector = None
     else:
-        center_widths = np.diff(vector)
-        center_edges = np.r_[vector[0], vector[-1]]
+        core = _Segment(vector[0], vector[-1], np.diff(vector))
         had_vector = vector
 
     if seasurface is not None:
-        center_edges, center_widths = _seasurface(
-            center_edges, center_widths, center, seasurface, stretching,
-            had_vector, min_width_limits,
-        )
+        core = _snap_seasurface(core, center, seasurface, stretching,
+                                had_vector, min_width_limits)
 
     # Computational domain: one wavelength buffer (capped).
     wlength = lambda_factor * wavelength(skind[1:])
@@ -354,59 +352,19 @@ def origin_and_widths(frequency, properties, center, domain=None, vector=None,
         comp_domain = np.array([domain[0] - dbuffer[0],
                                 domain[1] + dbuffer[1]])
 
-    # Search: cell numbers (small→big) × survey stretching × buffer stretching.
-    finished = False
-    x0 = hx = hxo = None
-    sa = ca = 1.0
-    nx = remain = 0
-    for nx in np.unique(cell_numbers):
-        nsa = max(1, min(100, int((stretching[0] - 1) / 0.001)))
-        for sa in np.linspace(1.0, stretching[0], nsa):
-            sd_edges, sd_hx, sd_remain = _stretch(
-                center_edges, center_widths, sa, nx, domain)
-            if sd_remain is False:
-                continue
-            hxo = np.atleast_1d(sd_hx)
-            nca = max(1, min(100, int((stretching[1] - sa) / 0.001)))
-            for ca in np.linspace(sa, stretching[1], nca):
-                cd_edges, hx, remain = _stretch(
-                    sd_edges, sd_hx, ca, nx, comp_domain, use_up=True)
-                if remain is not False:
-                    x0 = cd_edges[0]
-                    finished = True
-                    break
-            if finished:
-                break
-        if finished:
-            break
+    found = _search_discretization(core, np.unique(cell_numbers),
+                                   stretching, domain, comp_domain)
 
-    if not finished:
+    if found is None:
         msg = "No suitable grid found; relax your criteria."
         if raise_error:
             raise RuntimeError(msg)
         x0, hx, info = None, None, msg
     else:
-        sa_adj = np.max(np.r_[1.0, hxo[1:] / hxo[:-1], hxo[:-1] / hxo[1:]])
-        prec = int(np.ceil(max(0, -np.log10(min(hx)) + 1)))
-        info = f"Skin depth     [m] : {skind[0]:.{prec}f}"
-        if cond.size > 1:
-            info += f" / {skind[1]:.{prec}f}"
-        if cond.size > 2:
-            info += f" / {skind[2]:.{prec}f}"
-        info += "  [corr. to `properties`]\n"
-        info += (
-            f"Survey dom. DS [m] : {domain[0]:.{prec}f} - "
-            f"{domain[1]:.{prec}f}\n"
-            f"Comp. dom. DC  [m] : {comp_domain[0]:.{prec}f} - "
-            f"{comp_domain[1]:.{prec}f}\n"
-            f"Final extent   [m] : {x0:.{prec}f} - "
-            f"{x0 + np.sum(hx):.{prec}f}\n"
-            f"Cell widths    [m] : {min(hxo):.{prec}f} / {max(hxo):.{prec}f} "
-            f"/ {max(hx):.{prec}f}  [min(DS) / max(DS) / max(DC)]\n"
-            f"Number of cells    : {nx} ({hxo.size} / "
-            f"{nx - hxo.size - remain} / {remain})  [Total (DS/DC/remain)]\n"
-            f"Max stretching     : {sa:.3f} ({sa_adj:.3f}) / {ca:.3f}"
-            "  [DS (seasurface) / DC]")
+        x0 = found.full.lo
+        hx = found.full.widths
+        info = _gridding_report(found, skind, cond.size, domain,
+                                comp_domain)
 
     if verb > 0:
         print(info)
@@ -416,106 +374,215 @@ def origin_and_widths(frequency, properties, center, domain=None, vector=None,
     return x0, hx
 
 
-def _stretch(edges, widths, stretching, nx, domain, use_up=False):
-    """Extend a gridded center part to cover ``domain`` by stretched cells.
+class _Segment:
+    """A contiguous run of cells: [lo, hi] with its widths."""
 
-    Geometric stretching left and right of the center (reference:
-    emg3d/meshes.py:852-941).  Returns (False, False, False) if ``domain``
-    cannot be covered with ``nx`` total cells at this stretching.
+    def __init__(self, lo, hi, widths, leftover=0):
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.widths = np.atleast_1d(np.asarray(widths, dtype=float))
+        self.leftover = leftover    # unused cells of the budget
+
+    @property
+    def nodes(self):
+        return self.lo + np.r_[0.0, np.cumsum(self.widths)]
+
+
+class _Candidate:
+    """Accepted discretization: search coordinates + both segments."""
+
+    def __init__(self, n_cells, alpha_survey, alpha_comp, survey, full):
+        self.n_cells = n_cells
+        self.alpha_survey = alpha_survey
+        self.alpha_comp = alpha_comp
+        self.survey = survey
+        self.full = full
+
+
+def _side_cells(gap, seed_width, alpha, budget):
+    """Geometric extension covering ``gap``: (n or None, width series).
+
+    The series continues the segment's edge width with ratio ``alpha``;
+    ``n`` is the smallest count whose cumulative span reaches ``gap``
+    (None if even ``budget`` cells fall short).
     """
-    sfactors = stretching ** np.arange(1, nx + 1)
-    widths = np.atleast_1d(widths)
-    shxl = widths[0] * sfactors
-    shxr = widths[-1] * sfactors
-
-    nl = 0 if edges[0] <= domain[0] else int(
-        np.sum((edges[0] - np.cumsum(shxl)) > domain[0]) + 1)
-    nr = 0 if edges[1] >= domain[1] else int(
-        np.sum((edges[1] + np.cumsum(shxr)) < domain[1]) + 1)
-
-    remain = nx - widths.size - nl - nr
-    extent = [edges[0] - np.sum(shxl[:nl]), edges[1] + np.sum(shxr[:nr])]
-    reached = extent[0] <= domain[0] and extent[1] >= domain[1]
-
-    if not (reached and remain >= 0):
-        return False, False, False
-
-    if use_up:
-        nl += int(np.floor(remain / 2))
-        nr += int(np.ceil(remain / 2))
-        remain = 0
-
-    widths_ext = np.r_[shxl[:nl][::-1], widths, shxr[:nr]]
-    edges_ext = [float(edges[0] - np.sum(shxl[:nl])),
-                 float(edges[1] + np.sum(shxr[:nr]))]
-    return edges_ext, widths_ext, remain
+    series = seed_width * alpha ** np.arange(1, budget + 1)
+    if gap <= 0:
+        return 0, series
+    n = int(np.searchsorted(np.cumsum(series), gap, side='left')) + 1
+    return (None if n > budget else n), series
 
 
-def _seasurface(edges, widths, center, seasurface, stretching, vector,
-                limits):
-    """Adjust the center part so the seasurface falls on a node.
+def _grow(segment, alpha, n_cells, domain, spend_leftover=False):
+    """Extend ``segment`` to cover ``domain`` within an ``n_cells`` budget.
 
-    Reference: emg3d/meshes.py:944-1081.
+    Returns the grown :class:`_Segment` or None if the budget/stretching
+    cannot cover the domain.  With ``spend_leftover`` the remaining
+    budget is split between the two sides (domain over-coverage instead
+    of unused cells).
     """
-    edges = np.array(edges, dtype=float)
-    widths = np.atleast_1d(widths).astype(float)
+    w = segment.widths
+    nl, left = _side_cells(segment.lo - domain[0], w[0], alpha, n_cells)
+    nr, right = _side_cells(domain[1] - segment.hi, w[-1], alpha, n_cells)
+    if nl is None or nr is None:
+        return None
+    leftover = n_cells - w.size - nl - nr
+    if leftover < 0:
+        return None
+    if spend_leftover:
+        nl += leftover // 2
+        nr += leftover - leftover // 2
+        leftover = 0
+    return _Segment(segment.lo - left[:nl].sum(),
+                    segment.hi + right[:nr].sum(),
+                    np.r_[left[:nl][::-1], w, right[:nr]],
+                    leftover=leftover)
+
+
+def _alpha_ladder(lo, hi):
+    """Candidate stretching factors, finest-first (≈0.001 steps, ≤100)."""
+    n = max(1, min(100, int((hi - lo) / 0.001)))
+    return np.linspace(lo, hi, n)
+
+
+def _search_discretization(core, cell_numbers, stretching, domain,
+                           comp_domain):
+    """First (cell count, survey α, buffer α) covering both domains.
+
+    Smallest-first over MG-friendly cell counts; at each count the
+    survey domain is covered with the least stretching that fits, then
+    the buffer with the least stretching ≥ the survey's.  Returns a
+    :class:`_Candidate` or None.
+    """
+    for n_cells in cell_numbers:
+        for a_s in _alpha_ladder(1.0, stretching[0]):
+            survey = _grow(core, a_s, n_cells, domain)
+            if survey is None:
+                continue
+            for a_c in _alpha_ladder(a_s, stretching[1]):
+                full = _grow(survey, a_c, n_cells, comp_domain,
+                             spend_leftover=True)
+                if full is not None:
+                    return _Candidate(int(n_cells), a_s, a_c, survey,
+                                      full)
+    return None
+
+
+def _gridding_report(found, skind, n_props, domain, comp_domain):
+    """Human-readable summary of an accepted discretization."""
+    hxs, hx = found.survey.widths, found.full.widths
+    ratios = hxs[1:] / hxs[:-1]
+    alpha_eff = np.max(np.r_[1.0, ratios, 1.0 / ratios])
+    prec = int(np.ceil(max(0, -np.log10(hx.min()) + 1)))
+
+    def rng(lo, hi):
+        return f"{lo:.{prec}f} - {hi:.{prec}f}"
+
+    depths = " / ".join(f"{s:.{prec}f}" for s in skind[:n_props])
+    n_buffer = found.n_cells - hxs.size - found.full.leftover
+    return (
+        f"Skin depth     [m] : {depths}  [corr. to `properties`]\n"
+        f"Survey dom. DS [m] : {rng(*domain)}\n"
+        f"Comp. dom. DC  [m] : {rng(*comp_domain)}\n"
+        f"Final extent   [m] : {rng(found.full.lo, found.full.hi)}\n"
+        f"Cell widths    [m] : {hxs.min():.{prec}f} / "
+        f"{hxs.max():.{prec}f} / {hx.max():.{prec}f}"
+        "  [min(DS) / max(DS) / max(DC)]\n"
+        f"Number of cells    : {found.n_cells} ({hxs.size} / {n_buffer} "
+        f"/ {found.full.leftover})  [Total (DS/DC/remain)]\n"
+        f"Max stretching     : {found.alpha_survey:.3f} "
+        f"({alpha_eff:.3f}) / {found.alpha_comp:.3f}"
+        "  [DS (seasurface) / DC]")
+
+
+def _snap_seasurface(core, center, seasurface, stretching, vector, limits):
+    """Rebuild the core segment so the seasurface lands on a node.
+
+    Two strategies (reference behavior, emg3d/meshes.py:944-1081):
+    shift a single-cell core when the surface is within half a cell;
+    otherwise append a geometrically-growing column of cells from the
+    core top to the surface, scanning a small ladder of base-width
+    scalings until the implied growth factor is acceptable.
+    """
+    widths = core.widths
+    lo, hi = core.lo, core.hi
 
     if vector is None and widths.size == 1 and (
-            abs(seasurface - edges[1]) <= widths / 2):
-        edges += seasurface - edges[1]
-    else:
-        lsize = 0 if limits is None else np.array(limits, ndmin=1).size
+            abs(seasurface - hi) <= widths / 2):
+        shift = seasurface - hi
+        return _Segment(lo + shift, hi + shift, widths)
 
-        if vector is not None or lsize == 1:
-            frange = [1.0]
+    out = None
+    for scale in _base_width_scales(vector, limits, widths):
+        if vector is None:
+            base = scale * widths.item()
+            top = center + base / 2
+            alpha_cap = 1.1 * stretching[0]
         else:
-            fmin, fmax = 0.7, 1.3
-            if lsize == 2:
-                rlimits = np.asarray(limits) / widths
-                fmin = max(fmin, rlimits[0])
-                fmax = min(fmax, rlimits[1])
-            frange = np.linspace(fmin, fmax, 13)
-            frange = frange[np.argsort(abs(frange - 1))]
-            if frange[0] != 1.0:
-                frange = np.r_[1.0, frange]
+            base = widths[-1]
+            top = hi
+            alpha_cap = 1.25 * stretching[0]
 
-        for fact in frange:
-            if vector is None:
-                tdmin = fact * widths.item()
-                cedge = center + tdmin / 2
-                alphmax = 1.1 * stretching[0]
-            else:
-                tdmin = widths[-1]
-                cedge = edges[1]
-                alphmax = 1.25 * stretching[0]
+        column = _geometric_column(seasurface - top, base,
+                                   min(alpha_cap, stretching[1]))
+        if column is None:
+            continue
 
-            delta = seasurface - cedge
-            n = int(np.floor(delta / tdmin))
-            if n < 1:
-                continue
+        if vector is None:
+            new_widths = np.r_[base, column]
+            new_lo = center - base / 2
+        else:
+            new_widths = np.r_[widths, column]
+            new_lo = lo
+        out = _Segment(new_lo, new_lo + new_widths.sum(), new_widths)
+        break
 
-            def f(alpha):
-                return np.sum(tdmin * alpha ** np.arange(1, n + 1)) - delta
-
-            alph = sp.optimize.brentq(f, 0.5, 10.0)
-
-            if alph < min(alphmax, stretching[1]):
-                hx = tdmin * alph ** np.arange(1, n + 1)
-                if vector is None:
-                    widths = np.r_[tdmin, hx]
-                    edges[0] = center - tdmin / 2
-                else:
-                    widths = np.r_[widths, hx]
-                edges = np.r_[edges[0], edges[0] + widths.sum()]
-                break
-
-    nv = np.r_[edges[0], edges[0] + np.cumsum(widths)]
-    if not np.isclose(0.0, min(abs(nv - seasurface))):
+    if out is None:
+        out = _Segment(lo, hi, widths)
+    if not np.isclose(0.0, np.min(abs(out.nodes - seasurface))):
         warnings.warn(
             "emg3d_tpu: Seasurface is not at an actual boundary; "
             "relax your criteria.", UserWarning)
+    return out
 
-    return edges, widths
+
+def _base_width_scales(vector, limits, widths):
+    """Base-width scaling candidates for the seasurface column.
+
+    With a user vector or a fixed width limit the base is not free
+    ([1.0]); otherwise a 13-point ladder over [0.7, 1.3] (clipped by
+    the width limits), ordered by closeness to 1 with 1.0 first.
+    """
+    n_limits = 0 if limits is None else np.array(limits, ndmin=1).size
+    if vector is not None or n_limits == 1:
+        return [1.0]
+    f_lo, f_hi = 0.7, 1.3
+    if n_limits == 2:
+        rel = np.asarray(limits) / widths
+        f_lo, f_hi = max(f_lo, rel[0]), min(f_hi, rel[1])
+    ladder = np.linspace(f_lo, f_hi, 13)
+    ladder = ladder[np.argsort(abs(ladder - 1))]
+    if ladder[0] != 1.0:
+        ladder = np.r_[1.0, ladder]
+    return ladder
+
+
+def _geometric_column(delta, base, alpha_max):
+    """Widths of a geometric column spanning exactly ``delta``.
+
+    Chooses ``n = floor(delta/base)`` cells and solves for the growth
+    factor α with Σ base·αⁱ = delta (brentq in [0.5, 10]); None when no
+    cell fits or the required α exceeds ``alpha_max``.
+    """
+    n = int(np.floor(delta / base))
+    if n < 1:
+        return None
+    powers = np.arange(1, n + 1)
+    alpha = sp.optimize.brentq(
+        lambda a: base * np.sum(a ** powers) - delta, 0.5, 10.0)
+    if alpha >= alpha_max:
+        return None
+    return base * alpha ** powers
 
 
 def good_mg_cell_nr(max_nr=1024, max_lowest=5, min_div=3):

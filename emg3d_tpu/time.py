@@ -2,17 +2,24 @@
 
 API-parity rebuild of the reference Fourier class (emg3d/time.py:33-436,
 following Werthmüller/Mulder/Slob 2021): compute the 3-D response at a
-coarse, band-limited set of frequencies, interpolate to the full required
-range (spline within [fmin, fmax], PCHIP-anchored extrapolation below
-fmin, zero above fmax), and transform to time.
+coarse, band-limited set of frequencies, interpolate to the full
+required range (spline within [fmin, fmax], PCHIP-anchored
+extrapolation below fmin, zero above fmax), and transform to time.
 
 The reference outsources the required-frequency computation and the
 transform itself to empymod; here both are native
-(:mod:`emg3d_tpu.transforms`): self-designed sine/cosine DLF filters and
-a splined-DLF evaluation.
+(:mod:`emg3d_tpu.transforms`): self-designed sine/cosine DLF filters
+and a splined-DLF evaluation, plus an FFTLog alternative.
+
+Internally the class is organized around a *transform plan* — the
+(required-frequency grid, filter) pair implied by ``time``/``ft``/
+``ftarg`` — rebuilt whenever one of those inputs changes, while the
+band edges ``fmin``/``fmax`` stay cheap attributes whose effect is
+evaluated on the fly by the mask helpers.
 """
 
 import warnings
+from dataclasses import dataclass
 
 import numpy as np
 import scipy as sp
@@ -26,19 +33,69 @@ def __dir__():
     return __all__
 
 
+_FT_CHOICES = ('dlf', 'sin', 'cos', 'fftlog')
+
+
+@dataclass(frozen=True)
+class _TransformPlan:
+    """Frequency grid + filter implied by (time, ft, ftarg)."""
+
+    required: np.ndarray        # all frequencies the transform needs
+    filt: object                # DLF filter object; None for fftlog
+
+    @classmethod
+    def build(cls, time, ft, ftarg):
+        if ft not in _FT_CHOICES:
+            raise ValueError(
+                f"ft must be 'dlf' ('sin'/'cos' aliases) or 'fftlog'; "
+                f"got '{ft}'.")
+
+        if ft == 'fftlog':
+            freq = transforms.required_frequencies_fftlog(
+                time,
+                pts_per_dec=ftarg.get('pts_per_dec', 10),
+                add_dec=tuple(ftarg.get('add_dec', (-4, 2))))
+            return cls(required=freq, filt=None)
+
+        filt = ftarg.get('dlf', None)
+        if filt is None or isinstance(filt, str):
+            filt = transforms.design_filter()
+        freq = transforms.required_frequencies(
+            time, filt=filt, pts_per_dec=ftarg.get('pts_per_dec', -1))
+        return cls(required=freq, filt=filt)
+
+
+def _attr(name, doc):
+    """Plain stored-attribute property over ``self._<name>``."""
+
+    def fget(self):
+        return getattr(self, '_' + name)
+
+    def fset(self, value):
+        setattr(self, '_' + name, value)
+
+    return property(fget, fset, doc=doc)
+
+
 class Fourier:
     """Frequency-to-time management for time-domain CSEM.
 
     Parameters mirror the reference (time.py:120-146): ``time``, band
     limits ``fmin``/``fmax``, ``signal`` ∈ {-1, 0, 1} (switch-off,
-    impulse, switch-on), ``ft`` ('dlf' / 'sin' / 'cos'), ``ftarg``
-    (supports ``pts_per_dec`` and a ``DigitalFilter`` under 'dlf'),
-    and the mutually-exclusive ``input_freq`` / ``every_x_freq``.
+    impulse, switch-on), ``ft`` ('dlf' / 'sin' / 'cos' / 'fftlog'),
+    ``ftarg`` (supports ``pts_per_dec`` and a ``DigitalFilter``-like
+    object under 'dlf'), and the mutually-exclusive ``input_freq`` /
+    ``every_x_freq`` coarsening controls.
     """
+
+    # Band edges and signal: plain stored attributes (their effect is
+    # computed on the fly); time re-plans.
+    fmin = _attr('fmin', "Minimum frequency (Hz) to compute.")
+    fmax = _attr('fmax', "Maximum frequency (Hz) to compute.")
+    signal = _attr('signal', "Signal in time domain {-1, 0, 1}.")
 
     def __init__(self, time, fmin, fmax, signal=0, ft='dlf', ftarg=None,
                  **kwargs):
-        self._time = np.asarray(time, dtype=np.float64)
         self._fmin = fmin
         self._fmax = fmax
         self._signal = signal
@@ -47,78 +104,79 @@ class Fourier:
         self._input_freq = kwargs.pop('input_freq', None)
         self._every_x_freq = kwargs.pop('every_x_freq', None)
         self.verb = kwargs.pop('verb', 3)
-
         if kwargs:
-            raise TypeError(f"Unexpected **kwargs: {list(kwargs.keys())}.")
+            raise TypeError(f"Unexpected **kwargs: {list(kwargs)}.")
 
-        self._check_coarse_inputs(keep_inp_freq=True)
-        self._check_time()
+        self._resolve_coarsening(prefer='input_freq')
+        self._time = np.asarray(time, dtype=np.float64)
+        self._replan()
 
     def __repr__(self):
         return (f"{self.__class__.__name__}: {self._ft}; "
                 f"{self.time.min()}-{self.time.max()} s; "
                 f"{self.fmin}-{self.fmax} Hz")
 
-    # -- pure properties ----------------------------------------------------
+    # ---------------- plan management ----------------
+
+    def _replan(self):
+        """Recompute the required-frequency grid and filter."""
+        self._plan = _TransformPlan.build(self._time, self._ft,
+                                          self._ftarg)
+        if self.verb > 2:
+            freq, calc = self.freq_required, self.freq_compute
+            print(f"   Req. freq  [Hz] : {freq.min():.6g} - "
+                  f"{freq.max():.6g} ({freq.size})")
+            print(f"   Calc. freq [Hz] : {calc.min():.6g} - "
+                  f"{calc.max():.6g} ({calc.size})")
+
+    def _resolve_coarsening(self, prefer):
+        """Keep only one of the mutually-exclusive coarsening inputs."""
+        if self._input_freq is None or self._every_x_freq is None:
+            return
+        drop = ('every_x_freq' if prefer == 'input_freq'
+                else 'input_freq')
+        setattr(self, '_' + drop, None)
+        warnings.warn(
+            "emg3d: `input_freq` and `every_x_freq` are mutually "
+            f"exclusive. Re-setting `{drop}=None`.", UserWarning)
+
+    @property
+    def _filt(self):
+        """The DLF filter in use (None for fftlog)."""
+        return self._plan.filt
+
+    # ---------------- frequency bands ----------------
 
     @property
     def freq_required(self):
         """Frequencies required to carry out the Fourier transform."""
-        return self._freq_req
+        return self._plan.required
 
     @property
     def freq_coarse(self):
         """Coarse frequency range (≠ freq_required if decimated)."""
-        if self.every_x_freq is None and self.input_freq is None:
-            return self.freq_required
-        elif self.every_x_freq is None:
-            return self.input_freq
-        else:
-            return self.freq_required[::self.every_x_freq]
+        if self._input_freq is not None:
+            return self._input_freq
+        if self._every_x_freq is not None:
+            return self.freq_required[::self._every_x_freq]
+        return self.freq_required
 
-    @property
-    def ifreq_compute(self):
-        """Mask of freq_coarse which have to be computed."""
-        return ((self.freq_coarse >= self.fmin) &
-                (self.freq_coarse <= self.fmax))
+    def _band_mask(self, which):
+        """Boolean selector for one of the three frequency bands."""
+        if which == 'compute':          # over freq_coarse
+            freq = self.freq_coarse
+        else:                           # over freq_required
+            freq = self.freq_required
+        if which == 'extrapolate':
+            return freq < self._fmin
+        return (freq >= self._fmin) & (freq <= self._fmax)
 
-    @property
-    def freq_compute(self):
-        """Frequencies at which the 3-D model has to be solved."""
-        return self.freq_coarse[self.ifreq_compute]
+    # ---------------- re-planning inputs ----------------
 
-    @property
-    def ifreq_extrapolate(self):
-        """Mask of the frequencies to extrapolate (< fmin)."""
-        return self.freq_required < self.fmin
-
-    @property
-    def freq_extrapolate(self):
-        """Frequencies below fmin (PCHIP-anchored extrapolation)."""
-        return self.freq_required[self.ifreq_extrapolate]
-
-    @property
-    def ifreq_interpolate(self):
-        """Mask of the frequencies to interpolate."""
-        return ((self.freq_required >= self.fmin) &
-                (self.freq_required <= self.fmax))
-
-    @property
-    def freq_interpolate(self):
-        """Frequencies within [fmin, fmax] (spline interpolation)."""
-        return self.freq_required[self.ifreq_interpolate]
-
-    @property
-    def ft(self):
-        """Type of Fourier transform."""
-        return self._ft
-
-    @property
-    def ftarg(self):
-        """Fourier transform arguments."""
-        return self._ftarg
-
-    # -- properties with setters ----------------------------------------------
+    ft = property(lambda self: self._ft,
+                  doc="Type of Fourier transform.")
+    ftarg = property(lambda self: self._ftarg,
+                     doc="Fourier transform arguments.")
 
     @property
     def time(self):
@@ -128,93 +186,50 @@ class Fourier:
     @time.setter
     def time(self, time):
         self._time = np.asarray(time, dtype=np.float64)
-        self._check_time()
-
-    @property
-    def fmax(self):
-        """Maximum frequency (Hz) to compute."""
-        return self._fmax
-
-    @fmax.setter
-    def fmax(self, fmax):
-        self._fmax = fmax
-
-    @property
-    def fmin(self):
-        """Minimum frequency (Hz) to compute."""
-        return self._fmin
-
-    @fmin.setter
-    def fmin(self, fmin):
-        self._fmin = fmin
-
-    @property
-    def signal(self):
-        """Signal in time domain {-1, 0, 1}."""
-        return self._signal
-
-    @signal.setter
-    def signal(self, signal):
-        self._signal = signal
-
-    @property
-    def input_freq(self):
-        """If set, freq_coarse equals input_freq."""
-        return self._input_freq
-
-    @input_freq.setter
-    def input_freq(self, input_freq):
-        self._input_freq = input_freq
-        self._check_coarse_inputs(keep_inp_freq=True)
-
-    @property
-    def every_x_freq(self):
-        """If set, freq_coarse takes every x-th required frequency."""
-        return self._every_x_freq
-
-    @every_x_freq.setter
-    def every_x_freq(self, every_x_freq):
-        self._every_x_freq = every_x_freq
-        self._check_coarse_inputs(keep_inp_freq=False)
-
-    # -- the work --------------------------------------------------------------
+        self._replan()
 
     def fourier_arguments(self, ft, ftarg):
         """Set Fourier type and its arguments."""
         self._ft = ft
         self._ftarg = dict(ftarg)
-        self._check_time()
+        self._replan()
+
+    # ---------------- the work ----------------
 
     def interpolate(self, fdata):
-        """Interpolate from computed (freq_compute) to required data.
+        """Expand computed (freq_compute) data to freq_required.
 
-        Reference time.py:303-355: cubic spline on log-f within
-        [fmin, fmax]; PCHIP with a 1e-100 Hz real-valued anchor below
-        fmin; 0 above fmax.
+        Reference behavior (time.py:303-355), three bands:
+
+        - within [fmin, fmax]: cubic spline over log-frequency (or a
+          pass-through when nothing was decimated);
+        - below fmin: monotone PCHIP anchored at a 1e-100 Hz pseudo-DC
+          point (real part of the lowest computed frequency, zero
+          imaginary part), so the extrapolation tends to the static
+          limit instead of oscillating;
+        - above fmax: zero.
         """
         fdata = np.asarray(fdata)
         out = np.zeros(self.freq_required.size, dtype=np.complex128)
 
-        # 1. Interpolate between fmin and fmax.
-        if self.freq_coarse.size != self.freq_required.size:
-            Spline = sp.interpolate.InterpolatedUnivariateSpline
-            int_real = Spline(np.log(self.freq_compute),
-                              fdata.real)(np.log(self.freq_interpolate))
-            int_imag = Spline(np.log(self.freq_compute),
-                              fdata.imag)(np.log(self.freq_interpolate))
-            out[self.ifreq_interpolate] = int_real + 1j * int_imag
+        decimated = self.freq_coarse.size != self.freq_required.size
+        if decimated:
+            spline = sp.interpolate.InterpolatedUnivariateSpline
+            logf, logx = (np.log(self.freq_compute),
+                          np.log(self.freq_interpolate))
+            out[self.ifreq_interpolate] = (
+                spline(logf, fdata.real)(logx)
+                + 1j * spline(logf, fdata.imag)(logx))
         else:
             out[self.ifreq_interpolate] = fdata
 
-        # 2. Extrapolate below fmin with a DC anchor at 1e-100 Hz:
-        # real part of the lowest computed frequency, zero imaginary.
-        freq_ext = np.r_[1e-100, self.freq_compute]
-        data_ext = np.r_[fdata[0].real - 1e-100j, fdata]
-
-        Pchip = sp.interpolate.PchipInterpolator
-        ext_real = Pchip(freq_ext, data_ext.real)(self.freq_extrapolate)
-        ext_imag = Pchip(freq_ext, data_ext.imag)(self.freq_extrapolate)
-        out[self.ifreq_extrapolate] = ext_real + 1j * ext_imag
+        anchor_f = np.r_[1e-100, self.freq_compute]
+        anchor_d = np.r_[fdata[0].real - 1e-100j, fdata]
+        pchip = sp.interpolate.PchipInterpolator
+        xlow = self.freq_extrapolate
+        out[self.ifreq_extrapolate] = (
+            pchip(anchor_f, anchor_d.real)(xlow)
+            + 1j * pchip(anchor_f, anchor_d.imag)(xlow))
 
         return out
 
@@ -234,63 +249,54 @@ class Fourier:
         tdata : ndarray
             Time-domain data at ``Fourier.time``.
         """
-        inp_data = self.interpolate(fdata)
-
+        full = self.interpolate(fdata)
         if self._ft == 'fftlog':
             tdata = transforms.fourier_fftlog(
-                inp_data, self.freq_required, self.time,
-                signal=self.signal)
+                full, self.freq_required, self.time, signal=self.signal)
         else:
             tdata = transforms.fourier_dlf(
-                inp_data, self.freq_required, self.time,
-                signal=self.signal, filt=self._filt)
-
+                full, self.freq_required, self.time,
+                signal=self.signal, filt=self._plan.filt)
         return np.squeeze(tdata)
 
-    # -- private -----------------------------------------------------------------
 
-    def _check_time(self):
-        """Compute required frequencies for the given times/ft/ftarg."""
-        if self._ft not in ('dlf', 'sin', 'cos', 'fftlog'):
-            raise ValueError(
-                f"ft must be 'dlf' ('sin'/'cos' aliases) or 'fftlog'; "
-                f"got '{self._ft}'.")
+# Generated accessors: one (ifreq_<band>, freq_<band>) property pair per
+# band, and one re-validating property per coarsening control — the
+# tables ARE the definition; _band_mask holds the only band logic.
 
-        if self._ft == 'fftlog':
-            self._filt = None
-            self._freq_req = transforms.required_frequencies_fftlog(
-                self._time,
-                pts_per_dec=self._ftarg.get('pts_per_dec', 10),
-                add_dec=tuple(self._ftarg.get('add_dec', (-4, 2))))
-        else:
-            self._filt = self._ftarg.get('dlf', None)
-            if self._filt is None or isinstance(self._filt, str):
-                self._filt = transforms.design_filter()
-            pts_per_dec = self._ftarg.get('pts_per_dec', -1)
-            self._freq_req = transforms.required_frequencies(
-                self._time, filt=self._filt, pts_per_dec=pts_per_dec)
+def _install_band(which, source, doc):
+    def mask(self):
+        return self._band_mask(which)
 
-        if self.verb > 2:
-            self._print_freq_calc()
+    def values(self):
+        return getattr(self, source)[self._band_mask(which)]
 
-    def _check_coarse_inputs(self, keep_inp_freq=True):
-        """input_freq and every_x_freq are mutually exclusive."""
-        if self._input_freq is not None and self._every_x_freq is not None:
-            msg = ("emg3d: `input_freq` and `every_x_freq` are mutually "
-                   "exclusive. Re-setting ")
-            if keep_inp_freq:
-                msg += "`every_x_freq=None`."
-                self._every_x_freq = None
-            else:
-                msg += "`input_freq=None`."
-                self._input_freq = None
-            warnings.warn(msg, UserWarning)
+    setattr(Fourier, f'ifreq_{which}',
+            property(mask, doc=f"Mask of {source} for '{which}'."))
+    setattr(Fourier, f'freq_{which}', property(values, doc=doc))
 
-    def _print_freq_calc(self):
-        """Print required and computed frequency ranges."""
-        print(f"   Req. freq  [Hz] : {self.freq_required.min():.6g} - "
-              f"{self.freq_required.max():.6g} "
-              f"({self.freq_required.size})")
-        print(f"   Calc. freq [Hz] : {self.freq_compute.min():.6g} - "
-              f"{self.freq_compute.max():.6g} "
-              f"({self.freq_compute.size})")
+
+def _install_coarsening(name, doc):
+    def fget(self):
+        return getattr(self, '_' + name)
+
+    def fset(self, value):
+        setattr(self, '_' + name, value)
+        self._resolve_coarsening(prefer=name)
+
+    setattr(Fourier, name, property(fget, fset, doc=doc))
+
+
+for _band, _source, _doc in (
+        ('compute', 'freq_coarse',
+         "Frequencies at which the 3-D model has to be solved."),
+        ('interpolate', 'freq_required',
+         "Frequencies within [fmin, fmax] (spline interpolation)."),
+        ('extrapolate', 'freq_required',
+         "Frequencies below fmin (PCHIP-anchored extrapolation).")):
+    _install_band(_band, _source, _doc)
+
+_install_coarsening('input_freq', "If set, freq_coarse equals input_freq.")
+_install_coarsening(
+    'every_x_freq',
+    "If set, freq_coarse takes every x-th required frequency.")
