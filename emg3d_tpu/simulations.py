@@ -45,39 +45,28 @@ class Simulation:
     :mod:`emg3d_tpu.parallel.tasks` for the TPU execution model.
     """
 
+    # Optional constructor settings stored verbatim as attributes.
+    # 'parallel' selects the survey fan-out: 'task' (host loop over
+    # the jitted device solver; default) or 'batch' (all (source,
+    # freq) pairs as one leading batch axis, vmapped and sharded over
+    # a jax device mesh — the TPU-native replacement of the
+    # reference's process pool; needs gridding='same', plain cycles).
+    _SIMPLE_KWARGS = {'parallel': 'task', 'verb': 0, 'name': None,
+                      'info': None, 'receiver_interpolation': 'cubic'}
+
     def __init__(self, survey, model, max_workers=4, gridding='single',
                  **kwargs):
         self.survey = survey
         self.max_workers = max_workers
         self.gridding = gridding
-        # Execution mode for the survey fan-out: 'task' (host loop over
-        # the device solver; default) or 'batch' (all (source, freq)
-        # pairs as one leading batch axis, vmapped and sharded over a
-        # jax device mesh — the TPU-native replacement of the
-        # reference's process pool; requires gridding='same' and runs
-        # plain multigrid cycles).
-        self.parallel = kwargs.pop('parallel', 'task')
-        self.verb = kwargs.pop('verb', 0)
-        self.name = kwargs.pop('name', None)
-        self.info = kwargs.pop('info', None)
-        self.receiver_interpolation = kwargs.pop(
-            'receiver_interpolation', 'cubic')
+        for key, default in self._SIMPLE_KWARGS.items():
+            setattr(self, key, kwargs.pop(key, default))
 
-        # Solver options; tolerances kept separately
-        # (reference simulations.py:270-279).
-        self.solver_opts = {
-            'verb': 1,
-            'log': -1,
-            **kwargs.pop('solver_opts', {}),
-            'return_info': True,
-        }
-        self.tol_forward = self.solver_opts.get('tol', 1e-6)
-        self.tol_gradient = self.solver_opts.pop(
-            'tol_gradient', self.tol_forward)
+        self._init_solver_opts(kwargs.pop('solver_opts', {}))
+        self._init_progress_bars(kwargs.pop('tqdm_opts', {}))
 
-        self._dict_grid = self._dict_initiate
-        self._dict_efield = self._dict_initiate
-        self._dict_efield_info = self._dict_initiate
+        for name in ('_dict_grid', '_dict_efield', '_dict_efield_info'):
+            setattr(self, name, self._dict_initiate)
         self._gradient = None
         self._misfit = None
         self._computed = False
@@ -90,26 +79,35 @@ class Simulation:
         self._set_model(model, kwargs)
         self._set_layered_opts(kwargs.pop('layered', False),
                                kwargs.pop('layered_opts', {}))
+        if kwargs:
+            raise TypeError(f"Unexpected **kwargs: {list(kwargs)}.")
 
         if 'synthetic' not in self.survey.data.keys():
             self.survey.data['synthetic'] = self.data.observed.copy(
                 data=np.full(self.survey.shape, np.nan + 1j * np.nan))
 
-        tqdm_opts = kwargs.pop('tqdm_opts', {})
+        # Warn early about MG-unfriendly shapes of user-fixed grids.
+        if gridding == 'same':
+            meshes.check_mesh(self.model.grid)
+        elif gridding == 'input':
+            meshes.check_mesh(self._grid_single)
+
+    def _init_solver_opts(self, user_opts):
+        """Solver options; the two tolerances are kept separately
+        (reference simulations.py:270-279)."""
+        self.solver_opts = {'verb': 1, 'log': -1, **user_opts,
+                            'return_info': True}
+        self.tol_forward = self.solver_opts.get('tol', 1e-6)
+        self.tol_gradient = self.solver_opts.pop(
+            'tol_gradient', self.tol_forward)
+
+    def _init_progress_bars(self, tqdm_opts):
         if isinstance(tqdm_opts, bool):
             tqdm_opts = {'disable': not tqdm_opts}
         self._tqdm_opts = {
             'bar_format': '{desc} {bar} {n_fmt}/{total_fmt}  [{elapsed}]',
             **tqdm_opts,
         }
-
-        if kwargs:
-            raise TypeError(f"Unexpected **kwargs: {list(kwargs.keys())}.")
-
-        if gridding == 'same':
-            meshes.check_mesh(self.model.grid)
-        elif gridding == 'input':
-            meshes.check_mesh(self._grid_single)
 
     def __repr__(self):
         name = f" «{self.name}»" if self.name else ""
@@ -127,6 +125,24 @@ class Simulation:
     # (De-)serialization.
     # ----------------------------------------------------------------------
 
+    # Serialized configuration: (dict key, attribute) — the dict keys
+    # double as constructor kwargs in from_dict (tol_gradient rides in
+    # solver_opts; _input_sc2 is the private trailing-z-cells marker).
+    _STATE_ATTRS = (
+        ('max_workers', 'max_workers'), ('gridding', 'gridding'),
+        ('parallel', 'parallel'), ('gridding_opts', 'gridding_opts'),
+        ('solver_opts', 'solver_opts'), ('verb', 'verb'),
+        ('name', 'name'), ('info', 'info'), ('tqdm_opts', '_tqdm_opts'),
+        ('layered', 'layered'), ('layered_opts', 'layered_opts'),
+        ('receiver_interpolation', 'receiver_interpolation'),
+        ('tol_gradient', 'tol_gradient'), ('file_dir', 'file_dir'),
+        ('_input_sc2', '_input_sc2'),
+    )
+
+    # The cached per-task state dictionaries (dict[source][freq]).
+    _TASK_DICTS = ('_dict_grid', '_dict_efield', '_dict_efield_info',
+                   '_dict_bfield', '_dict_bfield_info')
+
     def clean(self, what='computed'):
         """Remove computed data ('computed', 'keepresults', or 'all').
 
@@ -135,20 +151,21 @@ class Simulation:
         if what not in ['computed', 'keepresults', 'all']:
             raise TypeError(f"Unrecognized `what`: {what}.")
 
-        if what in ['keepresults', 'all']:
+        # All variants drop the fields; 'keepresults'/'all' also drop
+        # the grids; 'computed'/'all' also drop the derived results.
+        if what != 'computed':
             self._dict_grid = self._dict_initiate
 
-        if what in ['computed', 'keepresults', 'all']:
-            self._dict_efield = self._dict_initiate
-            self._dict_efield_info = self._dict_initiate
-            for name in ['_dict_bfield', '_dict_bfield_info']:
-                if hasattr(self, name):
-                    delattr(self, name)
-            if self.file_dir:
-                for p in Path(self.file_dir).glob('[ebg]field_*.h5'):
-                    p.unlink()
+        self._dict_efield = self._dict_initiate
+        self._dict_efield_info = self._dict_initiate
+        for name in ['_dict_bfield', '_dict_bfield_info']:
+            if hasattr(self, name):
+                delattr(self, name)
+        if self.file_dir:
+            for p in Path(self.file_dir).glob('[ebg]field_*.h5'):
+                p.unlink()
 
-        if what in ['computed', 'all']:
+        if what != 'keepresults':
             self._computed = False
             for key in ['residual', 'weights']:
                 if key in self.data.keys():
@@ -179,22 +196,9 @@ class Simulation:
             '__class__': self.__class__.__name__,
             'survey': self.survey.to_dict(),
             'model': self.model.to_dict(),
-            'max_workers': self.max_workers,
-            'gridding': self.gridding,
-            'parallel': self.parallel,
-            'gridding_opts': self.gridding_opts,
-            'solver_opts': self.solver_opts,
-            'verb': self.verb,
-            'name': self.name,
-            'info': self.info,
-            'tqdm_opts': self._tqdm_opts,
-            'layered': self.layered,
-            'layered_opts': self.layered_opts,
-            'receiver_interpolation': self.receiver_interpolation,
-            'tol_gradient': self.tol_gradient,
-            'file_dir': self.file_dir,
-            '_input_sc2': self._input_sc2,
         }
+        out.update((key, getattr(self, attr))
+                   for key, attr in self._STATE_ATTRS)
 
         if what == 'plain':
             for key in ['synthetic', 'residual', 'weights']:
@@ -202,9 +206,7 @@ class Simulation:
                     del out['survey']['data'][key]
 
         if what in ['computed', 'all']:
-            for name in ['_dict_grid',
-                         '_dict_efield', '_dict_efield_info',
-                         '_dict_bfield', '_dict_bfield_info']:
+            for name in self._TASK_DICTS:
                 if hasattr(self, name):
                     out[name] = getattr(self, name)
 
@@ -236,11 +238,8 @@ class Simulation:
         computed = inp.pop('computed', False)
         misfit = inp.pop('misfit', None)
         gradient = inp.pop('gradient', None)
-        stored = {}
-        for name in ['_dict_grid', '_dict_efield', '_dict_efield_info',
-                     '_dict_bfield', '_dict_bfield_info']:
-            if name in inp:
-                stored[name] = inp.pop(name)
+        stored = {name: inp.pop(name) for name in cls._TASK_DICTS
+                  if name in inp}
 
         # tol_gradient travels inside solver_opts (popped in __init__).
         if 'tol_gradient' in inp:
@@ -264,24 +263,17 @@ class Simulation:
         sim = cls(survey=survey, model=model, gridding=gridding,
                   gridding_opts=gridding_opts, **inp)
 
-        # Restore stored state (grids/fields may be dicts from io).
-        def _maybe(cls_, v):
-            return cls_.from_dict(v) if isinstance(v, dict) else v
-
-        for name, d in stored.items():
-            out = {}
-            for src, fdict in d.items():
-                out[src] = {}
-                for f, v in fdict.items():
-                    if v is None or isinstance(v, str):
-                        out[src][f] = v
-                    elif 'info' in name:
-                        out[src][f] = v
-                    elif 'grid' in name:
-                        out[src][f] = _maybe(meshes.TensorMesh, v)
-                    else:
-                        out[src][f] = _maybe(fields.Field, v)
-            setattr(sim, name, out)
+        # Restore stored state.  Grids/fields arrive as plain dicts
+        # from io and need reviving; info dicts, None placeholders and
+        # file_dir path strings pass through untouched.
+        for name, by_task in stored.items():
+            revive = (meshes.TensorMesh if 'grid' in name
+                      else None if 'info' in name else fields.Field)
+            setattr(sim, name, {
+                src: {f: (revive.from_dict(v) if revive is not None
+                          and isinstance(v, dict) else v)
+                      for f, v in fdict.items()}
+                for src, fdict in by_task.items()})
 
         sim._computed = computed
         sim._misfit = misfit
@@ -319,48 +311,47 @@ class Simulation:
     def get_grid(self, source, frequency):
         """Computational grid for (source, frequency).
 
-        Gridding modes per reference simulations.py:624-697.
+        Gridding modes per reference simulations.py:624-697.  Every
+        mode reduces to *which tasks share a grid*: 'same' shares the
+        model grid, 'single'/'input' share one constructed grid,
+        'frequency'/'source' share per-key, 'both' shares nothing.
+        The shared grids live in one cache keyed by the sharing unit.
         """
         freq = self._freq_inp2key(frequency)
+        if self._dict_grid[source][freq] is None:
+            self._dict_grid[source][freq] = self._build_grid(source, freq)
+        return self._dict_grid[source][freq]
 
-        if self._dict_grid[source][freq] is not None:
-            return self._dict_grid[source][freq]
+    # gridding mode -> (cache-key fields, construct_mesh extras)
+    _GRID_SHARING = {
+        'frequency': ('f', ('frequency',)),
+        'source': ('s', ('center',)),
+        'both': ('sf', ('frequency', 'center')),
+        'single': ('', ()),
+    }
 
+    def _build_grid(self, source, freq):
         if self.gridding == 'same':
-            self._dict_grid[source][freq] = self.model.grid
+            return self.model.grid
+        if self.gridding == 'input':    # user-provided, _set_model
+            return self._grid_single
 
-        elif self.gridding == 'frequency':
-            if not hasattr(self, '_grid_frequency'):
-                self._grid_frequency = {}
-            if freq not in self._grid_frequency.keys():
-                inp = {**self.gridding_opts,
-                       'frequency': self.survey.frequencies[freq]}
-                self._grid_frequency[freq] = meshes.construct_mesh(**inp)
-            self._dict_grid[source][freq] = self._grid_frequency[freq]
+        key_fields, extras = self._GRID_SHARING.get(
+            self.gridding, self._GRID_SHARING['single'])
+        key = (source if 's' in key_fields else None,
+               freq if 'f' in key_fields else None)
 
-        elif self.gridding == 'source':
-            if not hasattr(self, '_grid_source'):
-                self._grid_source = {}
-            if source not in self._grid_source.keys():
-                center = self.survey.sources[source].center
-                inp = {**self.gridding_opts, 'center': center}
-                self._grid_source[source] = meshes.construct_mesh(**inp)
-            self._dict_grid[source][freq] = self._grid_source[source]
-
-        elif self.gridding == 'both':
-            center = self.survey.sources[source].center
-            inp = {**self.gridding_opts,
-                   'frequency': self.survey.frequencies[freq],
-                   'center': center}
-            self._dict_grid[source][freq] = meshes.construct_mesh(**inp)
-
-        else:  # 'single' (and fallback)
-            if not hasattr(self, '_grid_single'):
-                self._grid_single = meshes.construct_mesh(
-                    **self.gridding_opts)
-            self._dict_grid[source][freq] = self._grid_single
-
-        return self.get_grid(source, frequency)
+        cache = getattr(self, '_shared_grids', None)
+        if cache is None:
+            cache = self._shared_grids = {}
+        if key not in cache:
+            inp = dict(self.gridding_opts)
+            if 'frequency' in extras:
+                inp['frequency'] = self.survey.frequencies[freq]
+            if 'center' in extras:
+                inp['center'] = self.survey.sources[source].center
+            cache[key] = meshes.construct_mesh(**inp)
+        return cache[key]
 
     def get_model(self, source, frequency):
         """Model interpolated to the task grid."""
@@ -411,26 +402,28 @@ class Simulation:
     def _get_responses(self, source, frequency, efield=None):
         """Electric/magnetic responses at the receiver locations.
 
-        Reference simulations.py:759-793.
+        Reference simulations.py:759-793.  The two receiver families
+        sample different fields: electric receivers the efield itself,
+        magnetic ones its curl (H via Faraday) — hence the deferred
+        field factory per group.
         """
-        erec, mrec = self.survey._irec_types
-        erec_coord, mrec_coord = self.survey._rec_types_coord(source)
-
-        resp = np.zeros_like(self.data.synthetic.loc[source, :, frequency])
-
         if efield is None:
             efield = self._dict_get('efield', source, frequency)
 
-        if erec.size:
-            resp[erec] = efield.get_receiver(
-                receiver=erec_coord, method=self.receiver_interpolation)
+        idx_e, idx_m = self.survey._irec_types
+        coords_e, coords_m = self.survey._rec_types_coord(source)
+        groups = (
+            (idx_e, coords_e, lambda: efield),
+            (idx_m, coords_m, lambda: fields.get_magnetic_field(
+                self.get_model(source, frequency), efield)),
+        )
 
-        if mrec.size:
-            hfield = fields.get_magnetic_field(
-                self.get_model(source, frequency), efield)
-            resp[mrec] = hfield.get_receiver(
-                receiver=mrec_coord, method=self.receiver_interpolation)
-
+        resp = np.zeros_like(self.data.synthetic.loc[source, :, frequency])
+        for idx, coords, field_of in groups:
+            if idx.size:
+                resp[idx] = field_of().get_receiver(
+                    receiver=coords,
+                    method=self.receiver_interpolation)
         return resp
 
     # ----------------------------------------------------------------------
@@ -459,6 +452,27 @@ class Simulation:
         elif source is None and frequency is None:
             self._computed = True
 
+    def _solve_tasks(self, kind, srcfreq, payload, desc, tol):
+        """Fan (source, frequency) solves out through the task engine.
+
+        ``payload(src, freq)`` supplies the per-task solve inputs; the
+        shared fields (model, solver options with ``tol``) are merged
+        here and each task is spilled to file when ``file_dir`` is set.
+        Returns the list of (field, info) results.
+        """
+        def pack(sf):
+            src, freq = sf
+            data = {'model': self.model,
+                    'solver_opts': self.solver_opts,
+                    **payload(src, freq)}
+            data['solver_opts']['tol'] = tol
+            return self._data_or_file(kind, src, freq, data)
+
+        return _tasks.process_map(
+            _tasks.solve, [pack(sf) for sf in srcfreq],
+            max_workers=self.max_workers,
+            **{'desc': desc, **self._tqdm_opts})
+
     def _compute(self, srcfreq):
         """Solve the electric fields (reference simulations.py:835-880)."""
         if not srcfreq[0][0]:
@@ -466,30 +480,22 @@ class Simulation:
             if self.parallel == 'batch':
                 return self._compute_batch(srcfreq)
 
-        def collect_efield_inputs(inp):
-            source, freq = inp
-            data = {
-                'model': self.model,
-                'grid': self.get_grid(source, freq),
-                'source': self.survey.sources[source],
+        def efield_payload(src, freq):
+            return {
+                'grid': self.get_grid(src, freq),
+                'source': self.survey.sources[src],
                 'frequency': self.survey.frequencies[freq],
-                'efield': self._dict_get('efield', source, freq),
-                'solver_opts': self.solver_opts,
+                'efield': self._dict_get('efield', src, freq),
             }
-            data['solver_opts']['tol'] = self.tol_forward
-            return self._data_or_file('efield', source, freq, data)
 
-        out = _tasks.process_map(
-            _tasks.solve,
-            list(map(collect_efield_inputs, srcfreq)),
-            max_workers=self.max_workers,
-            **{'desc': 'Compute efields', **self._tqdm_opts})
+        out = self._solve_tasks('efield', srcfreq, efield_payload,
+                                'Compute efields', self.tol_forward)
 
-        for i, (src, freq) in enumerate(srcfreq):
-            self._dict_efield[src][freq] = out[i][0]
-            self._dict_efield_info[src][freq] = out[i][1]
-            resp = self._get_responses(src, freq)
-            self.data['synthetic'].loc[src, :, freq] = resp
+        for (src, freq), (efield, einfo) in zip(srcfreq, out):
+            self._dict_efield[src][freq] = efield
+            self._dict_efield_info[src][freq] = einfo
+            self.data['synthetic'].loc[src, :, freq] = \
+                self._get_responses(src, freq)
 
         self.print_solver_info('efield', verb=self.verb)
 
@@ -547,43 +553,36 @@ class Simulation:
         transmission-line/Hankel-DLF engine (emg3d_tpu.layered)
         replacing empymod.
         """
-        has_data = np.isfinite(
-            np.asarray(self.data.observed)).sum() > 0
+        has_data = np.isfinite(np.asarray(self.data.observed)).any()
 
-        def collect_layered_inputs(source):
-            isrc = list(self.survey.sources).index(source)
-            data = {
+        def per_source(isrc, source):
+            task = {
                 'model': self.model,
                 'src': self.survey.sources[source],
                 'receivers': self.survey.receivers,
                 'frequencies': self.survey.frequencies,
-                'observed': None,
                 'layered_opts': self.layered_opts,
                 'gradient': gradient,
+                'observed': (np.asarray(self.data.observed)[isrc]
+                             if has_data else None),
             }
-            if has_data:
-                data['observed'] = np.asarray(
-                    self.data.observed)[isrc]
             if gradient:
-                data['residual'] = np.asarray(
-                    self.data.residual)[isrc]
-                data['weights'] = np.asarray(self.data.weights)[isrc]
-            return data
+                task['residual'] = np.asarray(self.data.residual)[isrc]
+                task['weights'] = np.asarray(self.data.weights)[isrc]
+            return task
 
+        source_names = list(self.survey.sources)
         out = _tasks.process_map(
             _tasks.layered,
-            list(map(collect_layered_inputs, self.survey.sources.keys())),
+            [per_source(i, s) for i, s in enumerate(source_names)],
             max_workers=self.max_workers,
             **{'desc': 'Compute layered', **self._tqdm_opts})
 
         if gradient:
-            grad = np.zeros((3, *self.model.grid.shape_cells), order='F')
-            for val in out:
-                grad += val
-            return grad
+            return np.sum(out, axis=0)
 
-        for i, src in enumerate(self.survey.sources.keys()):
-            self.data['synthetic'].loc[src, :, :] = out[i]
+        for src, responses in zip(source_names, out):
+            self.data['synthetic'].loc[src, :, :] = responses
 
     # ----------------------------------------------------------------------
     # Optimization: misfit, gradient, jvec, jtvec.
@@ -611,13 +610,12 @@ class Simulation:
                         "deviation is required to compute the misfit.")
                 self.data['weights'] = std ** -2
 
-            residual = self.data.synthetic - self.data.observed
-            self.data['residual'] = residual
+            self.data['residual'] = (
+                self.data.synthetic - self.data.observed)
 
-            weights = self.data['weights']
-            self._misfit = float(np.real(
-                np.nansum(weights.data * residual.data.conj()
-                          * residual.data)) / 2)
+            r = self.data.residual.data
+            self._misfit = 0.5 * float(np.nansum(
+                self.data.weights.data * (r.real ** 2 + r.imag ** 2)))
 
         return self._misfit
 
@@ -679,30 +677,33 @@ class Simulation:
                     else:
                         gradient += grad
 
-            # Property-map chain rule; merge directions per anisotropy
-            # case (reference simulations.py:1071-1092).
-            indices = [0]
-            if self.model.case in ['HTI', 'triaxial']:
-                self.model.map.derivative_chain(
-                    gradient[1, ...], self.model.property_y)
-                indices.append(1)
-            else:
-                gradient[0, ...] += gradient[1, ...]
-
-            if self.model.case in ['VTI', 'triaxial']:
-                self.model.map.derivative_chain(
-                    gradient[2, ...], self.model.property_z)
-                indices.append(2)
-            else:
-                gradient[0, ...] += gradient[2, ...]
-
-            self.model.map.derivative_chain(
-                gradient[0, ...], self.model.property_x)
-
-            self._gradient = gradient[
-                indices, ..., :self._input_sc2].squeeze()
+            self._gradient = self._merge_gradient_axes(gradient)
 
         return self._gradient
+
+    def _merge_gradient_axes(self, gradient):
+        """Per-direction edge gradient -> model-parameter gradient.
+
+        Directions the anisotropy case does not parameterize fold into
+        the x slot; each kept slot then goes through the property-map
+        chain rule (reference simulations.py:1071-1092).
+        """
+        # case -> (kept slots, (slot, property) chain-rule pairs)
+        case = self.model.case
+        kept = {'isotropic': [0], 'HTI': [0, 1], 'VTI': [0, 2],
+                'triaxial': [0, 1, 2]}[case]
+        props = {0: self.model.property_x, 1: self.model.property_y,
+                 2: self.model.property_z}
+
+        for axis in (1, 2):
+            if axis not in kept:
+                gradient[0, ...] += gradient[axis, ...]
+        # x last: folding must happen before its chain rule.
+        for axis in sorted(kept, reverse=True):
+            self.model.map.derivative_chain(
+                gradient[axis, ...], props[axis])
+
+        return gradient[kept, ..., :self._input_sc2].squeeze()
 
     def _bcompute(self):
         """Back-propagate the residual fields (simulations.py:1193-1233)."""
@@ -710,26 +711,18 @@ class Simulation:
             self._dict_bfield = self._dict_initiate
             self._dict_bfield_info = self._dict_initiate
 
-        def collect_bfield_inputs(inp):
-            source, freq = inp
-            data = {
-                'model': self.model,
-                'sfield': self._get_rfield(source, freq),
-                'efield': self._dict_get('bfield', source, freq),
-                'solver_opts': self.solver_opts,
+        def bfield_payload(src, freq):
+            return {
+                'sfield': self._get_rfield(src, freq),
+                'efield': self._dict_get('bfield', src, freq),
             }
-            data['solver_opts']['tol'] = self.tol_gradient
-            return self._data_or_file('bfield', source, freq, data)
 
-        out = _tasks.process_map(
-            _tasks.solve,
-            list(map(collect_bfield_inputs, self._srcfreq)),
-            max_workers=self.max_workers,
-            **{'desc': 'Back-propagate', **self._tqdm_opts})
+        out = self._solve_tasks('bfield', self._srcfreq, bfield_payload,
+                                'Back-propagate', self.tol_gradient)
 
-        for i, (src, freq) in enumerate(self._srcfreq):
-            self._dict_bfield[src][freq] = out[i][0]
-            self._dict_bfield_info[src][freq] = out[i][1]
+        for (src, freq), (bfield, binfo) in zip(self._srcfreq, out):
+            self._dict_bfield[src][freq] = bfield
+            self._dict_bfield_info[src][freq] = binfo
 
         self.print_solver_info('bfield', verb=self.verb)
 
@@ -788,55 +781,35 @@ class Simulation:
         iopts = {'method': 'volume', 'extrapolate': True,
                  'log': False, 'grid': self.model.grid}
 
-        def collect_gfield_inputs(inp, vector=vector):
-            source, freq = inp
-            efield = self._dict_get('efield', source, freq)
+        # Map the per-axis model-space vectors onto the σx/σy/σz slots
+        # of the edge inner product for each anisotropy case.
+        _SLOTS = {'isotropic': (0, 0, 0), 'HTI': (0, 1, 0),
+                  'VTI': (0, 0, 1), 'triaxial': (0, 1, 2)}
 
-            cvector = [
+        def gfield_payload(src, freq):
+            efield = self._dict_get('efield', src, freq)
+            on_task_grid = [
                 maps.interpolate(values=v, xi=efield.grid, **iopts)
-                for v in vector[:, ...]
-            ]
-
-            # Per-direction cell vectors (x, y, z edge components).
-            if self.model.case == 'isotropic':
-                cvec = (cvector[0],) * 3
-            elif self.model.case == 'HTI':
-                cvec = (cvector[0], cvector[1], cvector[0])
-            elif self.model.case == 'VTI':
-                cvec = (cvector[0], cvector[0], cvector[1])
-            else:
-                cvec = tuple(cvector)
-
+                for v in vector]
+            cvec = tuple(on_task_grid[i]
+                         for i in _SLOTS[self.model.case])
             gvec = maps.edge_product_deriv_times_vector(efield, cvec)
-
             gfield = fields.Field(
-                grid=efield.grid,
-                data=-efield.smu0 * gvec,
+                grid=efield.grid, data=-efield.smu0 * gvec,
                 frequency=efield.frequency)
+            return {'sfield': gfield, 'efield': None}
 
-            data = {
-                'model': self.model,
-                'sfield': gfield,
-                'efield': None,
-                'solver_opts': self.solver_opts,
-            }
-            data['solver_opts']['tol'] = self.tol_gradient
-            return self._data_or_file('gfield', source, freq, data)
-
-        out = _tasks.process_map(
-            _tasks.solve,
-            list(map(collect_gfield_inputs, self._srcfreq)),
-            max_workers=self.max_workers,
-            **{'desc': 'Compute jvec', **self._tqdm_opts})
+        out = self._solve_tasks('gfield', self._srcfreq, gfield_payload,
+                                'Compute jvec', self.tol_gradient)
 
         if 'jvec' not in self.data.keys():
             self.data['jvec'] = self.data.observed.copy(
                 data=np.full(self.survey.shape, np.nan + 1j * np.nan))
 
-        for i, (src, freq) in enumerate(self._srcfreq):
-            gfield = self._load(out[i][0], 'efield')
-            resp = self._get_responses(src, freq, gfield)
-            self.data['jvec'].loc[src, :, freq] = resp
+        for (src, freq), result in zip(self._srcfreq, out):
+            gfield = self._load(result[0], 'efield')
+            self.data['jvec'].loc[src, :, freq] = \
+                self._get_responses(src, freq, gfield)
 
         return self.data['jvec'].data
 
@@ -1016,25 +989,32 @@ class Simulation:
                 f"{self.model.case} case.")
 
         layered_opts = deepcopy(dict(layered_opts or {}))
-        layered_opts['method'] = layered_opts.get('method', 'cylinder')
+        layered_opts.setdefault('method', 'cylinder')
 
         if layered_opts['method'] in ['prism', 'cylinder']:
             ellipse = layered_opts.get('ellipse', {})
             if ellipse.get('radius') is None:
-                try:
-                    prop = np.atleast_1d(
-                        self.gridding_opts['properties'])
-                    m = getattr(
-                        maps, 'Map' + self.gridding_opts['mapping'])()
-                    ind = -1 if prop.size < 3 else -2
-                    cond = m.backward(prop[ind])
-                except (KeyError, TypeError):
-                    zneg = self.model.property_x[:, :, 0]
-                    cond = np.min(self.model.map.backward(zneg))
-                freq = min(self.survey.frequencies.values())
-                ellipse['radius'] = meshes.skin_depth(freq, cond)
-            ellipse['factor'] = ellipse.get('factor', 1.2)
-            ellipse['minor'] = ellipse.get('minor', 0.8)
+                ellipse['radius'] = self._default_selection_radius()
+            ellipse.setdefault('factor', 1.2)
+            ellipse.setdefault('minor', 0.8)
             layered_opts['ellipse'] = ellipse
 
         self.layered_opts = layered_opts
+
+    def _default_selection_radius(self):
+        """One skin depth at the lowest survey frequency.
+
+        The conductivity is taken from the gridding properties (the
+        bottom-boundary entry) when available, else from the least
+        conductive cell of the model's deepest layer.
+        """
+        try:
+            prop = np.atleast_1d(self.gridding_opts['properties'])
+            pmap = getattr(maps,
+                           'Map' + self.gridding_opts['mapping'])()
+            cond = pmap.backward(prop[-1 if prop.size < 3 else -2])
+        except (KeyError, TypeError):
+            bottom = self.model.property_x[:, :, 0]
+            cond = np.min(self.model.map.backward(bottom))
+        freq = min(self.survey.frequencies.values())
+        return meshes.skin_depth(freq, cond)
