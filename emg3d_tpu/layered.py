@@ -33,9 +33,9 @@ generalization) and the native Hankel-DLF filters
 
 For receivers in the source layer the direct (primary) term is excluded
 from the wavenumber kernels (it decays only algebraically in λ when
-zr ≈ zs) and the analytic space-domain fullspace field is added instead
-— this requires the source layer to be isotropic when receivers share
-it; every other layer, and the source layer for cross-layer receivers,
+zr ≈ zs) and the closed-form VTI wholespace field
+(:func:`_vti_fullspace_primary`) is added in the space domain instead —
+so every layer, including the source layer with same-layer receivers,
 may be VTI.
 
 Validation: a uniform "layered" model reproduces the analytical
@@ -406,10 +406,10 @@ def fields_layered(src, receivers, depth, res_h, frequency, aniso=None,
     frequency : float
         Frequency (Hz), > 0.
     aniso : array_like, optional
-        sqrt(res_v / res_h) per layer; default 1 (isotropic).  The
-        source layer must be isotropic when receivers share it (the
-        analytic primary is isotropic); all other configurations may
-        be VTI throughout.
+        sqrt(res_v / res_h) per layer; default 1 (isotropic).  VTI is
+        supported in every layer, including the source layer with
+        same-layer receivers (the excluded primary is the closed-form
+        VTI wholespace field).
 
     Returns
     -------

@@ -19,8 +19,10 @@ convergence parity with the reference is therefore measured in
 cycles-to-tolerance, not bitwise field equality.
 """
 
+import contextvars
 import functools
 import itertools
+import os
 from dataclasses import dataclass
 from typing import Union
 
@@ -448,16 +450,40 @@ def _residual_dev(e, s, arrs):
 # dispatch guarantees each executable's collectives complete before
 # anything else competes for the core.  Real TPU meshes (one runtime
 # per chip) don't need this and keep fully async dispatch.
-_SYNC_DISPATCH = False
+#
+# Scoped per solve via a ContextVar (set by multigrid()/krylov() from
+# the solve's placement, reset on exit): concurrent solves in other
+# threads/tasks each see their own value, and nothing leaks across
+# solves.
+_SYNC_DISPATCH = contextvars.ContextVar('emg3d_sync_dispatch',
+                                        default=False)
+
+
+def _sync_dispatch_for(var):
+    """Sync-dispatch setting for this solve (see _SYNC_DISPATCH)."""
+    return (var.placement is not None
+            and jax.default_backend() == 'cpu')
 
 
 def _sj(x):
-    if _SYNC_DISPATCH:
+    if _SYNC_DISPATCH.get():
         jax.block_until_ready(x)
     return x
 
 
-def _smooth_jit(e, s, arrs, c_lr_dir, nu):
+def _with_sync_dispatch(fn):
+    """Scope _SYNC_DISPATCH to one solver-driver invocation."""
+    @functools.wraps(fn)
+    def wrapper(model, sfield, efield, var, **kwargs):
+        token = _SYNC_DISPATCH.set(_sync_dispatch_for(var))
+        try:
+            return fn(model, sfield, efield, var, **kwargs)
+        finally:
+            _SYNC_DISPATCH.reset(token)
+    return wrapper
+
+
+def _smooth_phases(e, s, arrs, c_lr_dir, nu):
     """Smoothing via per-PHASE jitted kernels.
 
     One executable per (shape, smoother-kind, color) — reused for every
@@ -482,6 +508,31 @@ def _smooth_jit(e, s, arrs, c_lr_dir, nu):
                         shape, axis, sweep % 2 == 1):
                     e = _sj(_line_phase_jit(e, s, arrs, c, axis))
     return e
+
+
+@functools.partial(jax.jit, static_argnames=('c_lr_dir', 'nu'))
+def _smooth_sweep_jit(e, s, arrs, c_lr_dir, nu):
+    """Whole-smooth executable: all phases of all nu sweeps fused.
+
+    One executable per (shape, smoother-kind, nu): ~16x fewer
+    dispatches than the per-phase path and XLA can overlap/fuse across
+    phase boundaries — the faster warm path.  Compile time is larger
+    (the graph holds 8*nu phase bodies), so the per-phase path remains
+    the cold-friendly option (EMG3D_TPU_SMOOTH_DISPATCH=phase).
+    """
+    return _smooth_dev(e, s, arrs, c_lr_dir, nu)
+
+
+# 'sweep' (default): whole-smooth executables — fastest warm, slower
+# cold; 'phase': per-phase executables — fastest cold.  Read at call
+# time (host dispatch), so it can be flipped between solves.
+_SMOOTH_DISPATCH = os.environ.get('EMG3D_TPU_SMOOTH_DISPATCH', 'sweep')
+
+
+def _smooth_jit(e, s, arrs, c_lr_dir, nu):
+    if _SMOOTH_DISPATCH == 'phase':
+        return _smooth_phases(e, s, arrs, c_lr_dir, nu)
+    return _sj(_smooth_sweep_jit(e, s, arrs, c_lr_dir, nu))
 
 
 @jax.jit
@@ -526,9 +577,14 @@ def _accumulate_jit(e_hi, e_lo, de):
 
 @functools.partial(jax.jit, static_argnames=('coarsen',))
 def _restrict_jit(e, s, arrs, coarsen):
-    """Fused residual + restriction -> coarse source."""
+    """Fused residual + restriction -> (coarse source, zero guess).
+
+    The zero coarse-level guess is produced here (same executable) so
+    the cycle driver never dispatches eager zero-fills between kernels.
+    """
     res = _residual_dev(e, s, arrs)
-    return transfer.restrict(*res, arrs['rw'], coarsen)
+    cs = transfer.restrict(*res, arrs['rw'], coarsen)
+    return cs, tuple(jnp.zeros_like(c) for c in cs)
 
 
 @functools.partial(jax.jit, static_argnames=('coarsen',))
@@ -587,8 +643,7 @@ def _cycle_correction(meta, arrays, r, var, first, smooth=_smooth_jit,
                     e = track_smooth(e, s, arrs, c_lr_dir, var.nu_pre,
                                      level)
 
-                cs = _sj(restrict(e, s, arrs, coarsen))
-                ce = tuple(jnp.zeros_like(c) for c in cs)
+                cs, ce = _sj(restrict(e, s, arrs, coarsen))
                 ce = recurse(cs, ce, level + 1, cycmax - cyc)
                 e = _sj(prolong(e, ce, arrs, coarsen))
 
@@ -612,8 +667,7 @@ def _cycle_correction(meta, arrays, r, var, first, smooth=_smooth_jit,
     else:
         if var.nu_pre > 0:
             de = track_smooth(de, r, arrs, c_lr_dir, var.nu_pre, 0)
-        cs = _sj(restrict(de, r, arrs, coarsen))
-        ce = tuple(jnp.zeros_like(c) for c in cs)
+        cs, ce = _sj(restrict(de, r, arrs, coarsen))
         ce = recurse(cs, ce, 1, cycmax0)
         de = _sj(prolong(de, ce, arrs, coarsen))
         if var.nu_post > 0:
@@ -693,6 +747,78 @@ class _ConvergenceError(Exception):
 _retry_transient = backend.retry_transient
 
 
+# --------------------------------------------------------------------------
+# Whole-cycle executables (EMG3D_TPU_CYCLE_JIT).
+#
+# The host-driven cycle dispatches ~20-100 level-op executables per
+# multigrid cycle.  Over a *tunneled* TPU each dispatch pays network
+# latency, so one executable per (hierarchy, next-hierarchy, first)
+# triple — the full correction cycle, the split-precision accumulate
+# and the next residual norm fused into a single XLA program with ONE
+# host sync per cycle — is the latency-optimal shape.  The cost is a
+# far larger graph (every smoothing phase of every level inlined), so
+# compile is slower: default 'auto' enables it off-CPU only.
+#   EMG3D_TPU_CYCLE_JIT = 1 | 0 | auto
+# --------------------------------------------------------------------------
+
+_CYCLE_JIT = os.environ.get('EMG3D_TPU_CYCLE_JIT', 'auto')
+
+
+def _use_cycle_jit(var):
+    if _CYCLE_JIT == '1':
+        return var.placement is None
+    if _CYCLE_JIT == 'auto':
+        return (var.placement is None and var.verb <= 3
+                and jax.default_backend() != 'cpu')
+    return False
+
+
+class _CycleCfg:
+    """The static slice of MGParameters a cycle trace reads."""
+
+    __slots__ = ('cycle', 'cycmax', 'nu_init', 'nu_pre', 'nu_coarse',
+                 'nu_post', 'level_all')
+
+    def __init__(self, cycle, cycmax, nu_init, nu_pre, nu_coarse,
+                 nu_post):
+        self.cycle = cycle
+        self.cycmax = cycmax
+        self.nu_init = nu_init
+        self.nu_pre = nu_pre
+        self.nu_coarse = nu_coarse
+        self.nu_post = nu_post
+        self.level_all = []         # trace-time QC sink
+
+
+def _cycle_cfg_key(var):
+    return (var.cycle, var.cycmax, var.nu_init, var.nu_pre,
+            var.nu_coarse, var.nu_post)
+
+
+@functools.lru_cache(maxsize=None)
+def _whole_step_factory(meta, meta2, cfg_key, first):
+    """One jitted executable: cycle + accumulate + next residual norm.
+
+    ``meta``/``meta2`` are the (hashable) level-meta tuples of the
+    current and the next hierarchy (they differ under semicoarsening /
+    line-relaxation cycling); the level arrays are runtime pytree
+    arguments, so solves on equal-configuration hierarchies share the
+    compiled program.
+    """
+    cfg = _CycleCfg(*cfg_key)
+
+    @jax.jit
+    def step(e_hi, e_lo, s, arrays, arrays2, r):
+        de = _cycle_correction(meta, arrays, r, cfg, first,
+                               smooth=_smooth_dev)
+        e_hi2, e_lo2 = _accumulate_jit(e_hi, e_lo, de)
+        r2, l2 = _residual_norm_split_jit(e_hi2, e_lo2, s, arrays2[0])
+        return e_hi2, e_lo2, r2, l2
+
+    return step
+
+
+@_with_sync_dispatch
 def multigrid(model, sfield, efield, var, **kwargs):
     """Run multigrid cycles until a termination criterion fires.
 
@@ -704,10 +830,6 @@ def multigrid(model, sfield, efield, var, **kwargs):
     hier = kwargs.pop('hierarchies', None)
     if hier is None:
         hier = _Hierarchies(model, var)
-
-    global _SYNC_DISPATCH
-    _SYNC_DISPATCH = (var.placement is not None
-                      and jax.default_backend() == 'cpu')
 
     as_field = hasattr(sfield, 'field')
     if as_field:
@@ -742,11 +864,17 @@ def multigrid(model, sfield, efield, var, **kwargs):
 
         def _cycle_step(e_hi=e_hi, e_lo=e_lo, r=r, first=first,
                         meta=meta, arrays=arrays):
-            de = _cycle_correction(meta, arrays, r, var, first)
-            e_hi2, e_lo2 = _accumulate_jit(e_hi, e_lo, de)
             meta2, arrays2 = hier.get(sc_next, lr_next)
-            r2, l2_dev = _residual_norm_split_jit(
-                e_hi2, e_lo2, s, arrays2[0])
+            if _use_cycle_jit(var):
+                step = _whole_step_factory(
+                    meta, meta2, _cycle_cfg_key(var), first)
+                e_hi2, e_lo2, r2, l2_dev = step(
+                    e_hi, e_lo, s, arrays, arrays2, r)
+            else:
+                de = _cycle_correction(meta, arrays, r, var, first)
+                e_hi2, e_lo2 = _accumulate_jit(e_hi, e_lo, de)
+                r2, l2_dev = _residual_norm_split_jit(
+                    e_hi2, e_lo2, s, arrays2[0])
             return e_hi2, e_lo2, (meta2, arrays2), r2, float(l2_dev)
 
         e_hi, e_lo, (meta, arrays), r, l2_last = _retry_transient(
@@ -823,6 +951,7 @@ def _terminate(var, l2_last, l2_stag, it):
     return finished
 
 
+@_with_sync_dispatch
 def krylov(model, sfield, efield, var):
     """MG-preconditioned Krylov solver (reference solver.py:652-784).
 
@@ -830,10 +959,6 @@ def krylov(model, sfield, efield, var):
     fall back to scipy.sparse.linalg with device matvecs.
     """
     hier = _Hierarchies(model, var)
-
-    global _SYNC_DISPATCH
-    _SYNC_DISPATCH = (var.placement is not None
-                      and jax.default_backend() == 'cpu')
 
     mdev = _vmodel_to_dev(model)
     if var.placement is not None:
@@ -1285,9 +1410,13 @@ class MGParameters:
                 print(info, **kwargs)
 
     def _max_level(self):
-        """Per-dimension max coarsening level (solver.py:1202-1270)."""
-        inp_clevel = np.inf if self.clevel < 0 else self.clevel
+        """Per-dimension max coarsening level (solver.py:1202-1270).
 
+        Each dimension coarsens while its cell count is even and > 2;
+        a user-set ``clevel`` >= 0 caps every dimension's depth.  The
+        result is the per-sc_dir depth table (index 0: standard
+        coarsening; 1-3: the dimension named by sc_dir is excluded).
+        """
         clevel = np.zeros(3, dtype=np.int64)
         for i in range(3):
             n = self.shape_cells[i]
@@ -1295,9 +1424,8 @@ class MGParameters:
                 clevel[i] += 1
                 n /= 2
 
-        for i in range(3):
-            if -1 < self.clevel < clevel[i]:
-                clevel[i] = self.clevel
+        if self.clevel >= 0:
+            clevel = np.minimum(clevel, self.clevel)
 
         self.clevel = np.array([
             max(clevel[0], clevel[1], clevel[2]),  # sc_dir=0
@@ -1310,7 +1438,6 @@ class MGParameters:
             raise ValueError(
                 "Nr. of cells must be at least two in each direction. "
                 f"Provided shape: {self.shape_cells}.")
-        _ = inp_clevel
 
     def _semicoarsening(self):
         """Set up semicoarsening cycling (solver.py:1272-1304)."""

@@ -20,6 +20,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Per-phase smoother executables compile much faster than the fused
+# whole-sweep ones (the production default) — the right trade-off for a
+# compile-dominated test suite on XLA:CPU.  The sweep path's parity is
+# covered explicitly by test_solver.py::test_smooth_dispatch_parity.
+os.environ.setdefault("EMG3D_TPU_SMOOTH_DISPATCH", "phase")
+
 import pytest  # noqa: E402
 
 import jax  # noqa: E402

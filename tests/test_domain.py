@@ -13,6 +13,10 @@ import jax
 from emg3d_tpu import fields, meshes, models, solver
 from emg3d_tpu.parallel import domain
 
+# Compile-heavy suite (many per-shape executables on XLA:CPU):
+# excluded from the quick tier, see CLAUDE.md.
+pytestmark = pytest.mark.slow
+
 
 def _problem(n=16, stretched=False, anisotropic=False):
     if stretched:

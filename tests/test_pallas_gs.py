@@ -13,6 +13,10 @@ import pytest
 
 from emg3d_tpu.ops import pallas_gs, smoothers
 
+# Compile-heavy suite (many per-shape executables on XLA:CPU):
+# excluded from the quick tier, see CLAUDE.md.
+pytestmark = pytest.mark.slow
+
 
 def _random_problem(seed=5, nx=9, ny=8, nz=7):
     rng = np.random.default_rng(seed)

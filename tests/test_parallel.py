@@ -9,6 +9,10 @@ import emg3d_tpu as e3
 from emg3d_tpu import electrodes, fields, meshes, models
 from emg3d_tpu.parallel import tasks
 
+# Compile-heavy suite (many per-shape executables on XLA:CPU):
+# excluded from the quick tier, see CLAUDE.md.
+pytestmark = pytest.mark.slow
+
 
 def test_process_map_basics():
     count0 = tasks.process_map.count

@@ -17,6 +17,10 @@ import alternatives
 from emg3d_tpu import fields, meshes, models
 from emg3d_tpu.ops import operator, smoothers
 
+# Compile-heavy suite (many per-shape executables on XLA:CPU):
+# excluded from the quick tier, see CLAUDE.md.
+pytestmark = pytest.mark.slow
+
 
 def setup(shape, seed=7, case="triaxial", stretched=True):
     rng = np.random.default_rng(seed)

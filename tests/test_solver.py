@@ -37,6 +37,33 @@ def test_fcycle_converges_fullspace():
     assert info["rel_error"] < 1e-6
 
 
+@pytest.mark.slow
+def test_smooth_dispatch_parity(monkeypatch):
+    """Whole-sweep executables == per-phase executables.
+
+    The suite runs with EMG3D_TPU_SMOOTH_DISPATCH=phase (conftest) for
+    compile speed; this pins that the fused production path performs
+    the identical phase sequence.  Tolerance: XLA reassociates float
+    ops across the fused phase boundaries, so agreement is to rounding
+    (~1e-9 of the field scale), not bit-for-bit.
+    """
+    _, model, sfield = fullspace_setup(8, case="vti")
+
+    def run():
+        e, info = solver.solve(model, sfield, plain=True, verb=-1,
+                               maxit=2, return_info=True)
+        return np.asarray(e.field), info["rel_error"]
+
+    monkeypatch.setattr(solver, "_SMOOTH_DISPATCH", "phase")
+    f_phase, r_phase = run()
+    monkeypatch.setattr(solver, "_SMOOTH_DISPATCH", "sweep")
+    f_sweep, r_sweep = run()
+
+    scale = np.abs(f_phase).max()
+    assert_allclose(f_sweep, f_phase, rtol=1e-9, atol=1e-9 * scale)
+    assert abs(r_sweep - r_phase) < 1e-6 * max(r_phase, 1e-30)
+
+
 def test_solution_matches_dense_solve():
     grid, model, sfield = fullspace_setup(8)
     efield = solver.solve(model, sfield, plain=True, verb=-1, tol=1e-10)
@@ -53,6 +80,7 @@ def test_solution_matches_dense_solve():
     assert err < 1e-5
 
 
+@pytest.mark.slow
 def test_bicgstab_vti():
     _, model, sfield = fullspace_setup(8, case="vti")
     efield, info = solver.solve(model, sfield, verb=-1, return_info=True)
@@ -73,6 +101,7 @@ def test_sc_lr_stretched_grid():
     assert info["exit_message"] == "CONVERGED"
 
 
+@pytest.mark.slow
 def test_laplace_domain():
     """Negative frequency = Laplace domain: real-valued solve."""
     _, model, sfield = fullspace_setup(8, frequency=-2.0)
@@ -90,6 +119,26 @@ def test_other_cycles(cycle):
     efield, info = solver.solve(model, sfield, sslsolver=False,
                                 semicoarsening=False, linerelaxation=False,
                                 cycle=cycle, verb=-1, return_info=True)
+    assert info["exit_message"] == "CONVERGED"
+
+
+@pytest.mark.slow
+def test_user_clevel_caps_hierarchy():
+    """A user-set clevel caps the coarsening depth (and still solves)."""
+    var = solver.MGParameters(
+        sslsolver=False, semicoarsening=False, linerelaxation=False,
+        shape_cells=(16, 16, 16), verb=0, clevel=1)
+    assert list(var.clevel) == [1, 1, 1, 1]
+
+    # Depth really caps the built hierarchy: 2 levels instead of 4.
+    _, model, sfield = fullspace_setup(16)
+    vmodel = models.VolumeModel(model, sfield)
+    meta, arrays = solver._build_hierarchy(vmodel, 0, 0, var.clevel[0])
+    assert len(meta) == 2
+
+    efield, info = solver.solve(model, sfield, plain=True, verb=-1,
+                                clevel=1, tol=1e-6, maxit=60,
+                                return_info=True)
     assert info["exit_message"] == "CONVERGED"
 
 
@@ -174,6 +223,7 @@ def test_invalid_sslsolver():
         solver.solve(model, sfield, sslsolver='nonsense', verb=0)
 
 
+@pytest.mark.slow
 def test_bicgstab_triaxial():
     """Triaxial anisotropy with the default MG-preconditioned BiCGSTAB
     (BASELINE config 3), validated against the dense direct solve."""
