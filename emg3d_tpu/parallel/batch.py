@@ -46,11 +46,17 @@ def _bsmooth(e, s, arrs, c_lr_dir, nu):
 
 @functools.partial(jax.jit, static_argnames=("coarsen",))
 def _brestrict(e, s, arrs, coarsen):
+    """Batched fused residual+restrict -> (coarse source, zero guess).
+
+    Return contract matches solver._restrict_jit: the zero coarse
+    guess rides in the same executable.
+    """
     def fn(e, s, arrs):
         res = solver._residual_dev(e, s, arrs)
         from emg3d_tpu.ops import transfer
         return transfer.restrict(*res, arrs["rw"], coarsen)
-    return jax.vmap(fn, in_axes=(0, 0, _axes_of(arrs)))(e, s, arrs)
+    cs = jax.vmap(fn, in_axes=(0, 0, _axes_of(arrs)))(e, s, arrs)
+    return cs, tuple(jnp.zeros_like(c) for c in cs)
 
 
 @functools.partial(jax.jit, static_argnames=("coarsen",))
@@ -95,6 +101,181 @@ def _cycle_correction_batched(meta, arrays, r, var, first):
     return solver._cycle_correction(
         meta, arrays, r, var, first, smooth=_bsmooth, restrict=_brestrict,
         prolong=_bprolong)
+
+
+class _BatchHierarchies:
+    """Per-solve cache of stacked hierarchies per (sc_dir, lr_dir).
+
+    Batched mirror of solver._Hierarchies: semicoarsening and
+    line-relaxation direction cycling ask for a different coarsening
+    path each cycle; each is built (and stacked/sharded) once on first
+    use and reused for the rest of the solve.
+    """
+
+    def __init__(self, vmodels, var, mesh=None, axis="task"):
+        self.vmodels = vmodels
+        self.var = var
+        self.mesh = mesh
+        self.axis = axis
+        self._cache = {}
+
+    def get(self, sc_dir, lr_dir):
+        key = (int(sc_dir), int(lr_dir))
+        if key not in self._cache:
+            clevel_max = self.var.clevel[min(sc_dir, 3)]
+            self._cache[key] = _build_hierarchy_batched(
+                self.vmodels, sc_dir, lr_dir, clevel_max,
+                mesh=self.mesh, axis=self.axis)
+        return self._cache[key]
+
+
+# --------------------------------------------------------------------------
+# Batched MG-preconditioned BiCGSTAB.
+#
+# The reference's production configuration (sslsolver + semicoarsening
+# + linerelaxation, emg3d/solver.py:82-140) for the whole survey batch
+# at once: the Krylov scalars become (B,) device arrays — one
+# (rho, alpha, omega) triple per task — and every vector op is batched
+# over the task axis, so XLA shards the entire iteration over the mesh
+# with zero collectives.  Per-task convergence is handled by an
+# ``active`` mask that freezes a task's x/r updates once its residual
+# passes tolerance; guarded divisions make post-breakdown algebra inert
+# (zeros) instead of NaN.
+# --------------------------------------------------------------------------
+
+
+def _bdot(a, b):
+    """Per-task conjugated inner product over field tuples -> (B,)."""
+    return sum(jnp.sum(jnp.conj(x) * y, axis=(1, 2, 3))
+               for x, y in zip(a, b))
+
+
+def _bnorm_dev(a):
+    """Per-task l2 norm over field tuples -> (B,) real."""
+    return jnp.sqrt(sum(jnp.sum(jnp.abs(x) ** 2, axis=(1, 2, 3))
+                        for x in a))
+
+
+def _guarded_div(num, den):
+    """num/den with 0 where den == 0 (freezes broken-down tasks)."""
+    bad = den == 0
+    return jnp.where(bad, 0, num / jnp.where(bad, 1, den))
+
+
+def _bxpay(x, a, y):
+    """x + a*y with per-task scalar a, over field tuples."""
+    return tuple(c + a[:, None, None, None] * d for c, d in zip(x, y))
+
+
+@functools.partial(jax.jit, static_argnames=("first",))
+def _bcg_direction(r, rhat, p, v, rho, alpha, omega, first):
+    """rho/beta update and new search direction p."""
+    rho_new = _bdot(rhat, r)
+    if first:
+        return r, rho_new
+    beta = _guarded_div(rho_new, rho) * _guarded_div(alpha, omega)
+    p_new = _bxpay(r, beta, _bxpay(p, -omega, v))
+    return p_new, rho_new
+
+
+@jax.jit
+def _bcg_alpha(phat, r, rhat, rho, arrs):
+    """v = A phat; alpha = rho/<rhat,v>; s = r - alpha v."""
+    v = _bamat(phat, arrs)
+    alpha = _guarded_div(rho, _bdot(rhat, v))
+    svec = _bxpay(r, -alpha, v)
+    return v, alpha, svec
+
+
+@jax.jit
+def _bcg_advance(shat, phat, svec, x, alpha, active, arrs):
+    """t = A shat; omega; masked x/r updates; new residual norms."""
+    t = _bamat(shat, arrs)
+    omega = _guarded_div(_bdot(t, svec), _bdot(t, t))
+    gate = active.astype(alpha.dtype)
+    x_new = _bxpay(_bxpay(x, gate * alpha, phat), gate * omega, shat)
+    r_new = _bxpay(svec, -omega, t)
+    return x_new, r_new, omega, _bnorm_dev(r_new)
+
+
+@jax.jit
+def _bamat(e, arrs):
+    """Batched operator application (B tasks at once)."""
+    def fn(e, a):
+        return solver.operator.amat_x(
+            *e, a["eta_x"], a["eta_y"], a["eta_z"], a["zeta"],
+            a["hx"], a["hy"], a["hz"])
+    return jax.vmap(fn, in_axes=(0, _axes_of(arrs)))(e, arrs)
+
+
+def _bprecond(s, var, bhier):
+    """Apply ``var.maxit`` batched MG cycles to s from a zero guess.
+
+    Batched mirror of the per-task preconditioner
+    (solver.py:mg_precond_dev): split-precision accumulation inside,
+    sc/lr direction cycling shared with the outer loop via ``var``.
+    Runs a fixed cycle count — per-task early exit would desynchronize
+    the batch; the count is the small ``maxcycle`` (e.g. 3) the
+    reference also uses as its inner budget.
+    """
+    e_hi = tuple(jnp.zeros_like(c) for c in s)
+    e_lo = e_hi
+    r = s
+    for cyc in range(var.maxit):
+        sc_next = next(var.sc_cycle) if var.sc_cycle else var.sc_dir
+        lr_next = next(var.lr_cycle) if var.lr_cycle else var.lr_dir
+        meta, arrays = bhier.get(var.sc_dir, var.lr_dir)
+        de = _cycle_correction_batched(meta, arrays, r, var, cyc == 0)
+        e_hi, e_lo = solver._accumulate_jit(e_hi, e_lo, de)
+        var.sc_dir, var.lr_dir = sc_next, lr_next
+        var.it += 1
+        if cyc + 1 < var.maxit:
+            r, _ = _bresidual_norm_split(e_hi, e_lo, s, arrays[0])
+    return tuple(h + l for h, l in zip(e_hi, e_lo))
+
+
+def _bicgstab_batch(s, var, bhier, verb=0):
+    """Right-preconditioned BiCGSTAB over the task batch.
+
+    Batched counterpart of solver._bicgstab (reference role:
+    emg3d/solver.py:759-765).  Returns (x, rnorm, it, converged_mask).
+    """
+    arrs0 = bhier.get(var.sc_dir, var.lr_dir)[1][0]
+
+    bnrm = np.asarray(_bnorm_dev(s))
+    atol = np.maximum(1e-30, var.tol * np.where(bnrm == 0, 1.0, bnrm))
+
+    x = tuple(jnp.zeros_like(c) for c in s)
+    r = rhat = s                     # r = s - A·0
+    cdtype = s[0].dtype
+    ones = jnp.ones(bnrm.shape, dtype=cdtype)
+    rho = alpha = omega = ones
+    v = p = x
+
+    active = bnrm > 0                # zero-source tasks are born done
+    rnorm = bnrm.copy()
+
+    it = 0
+    for it in range(1, var.ssl_maxit + 1):
+        p, rho = _bcg_direction(r, rhat, p, v, rho, alpha, omega,
+                                first=it == 1)
+        phat = _bprecond(p, var, bhier) if var.cycle else p
+        v, alpha, svec = _bcg_alpha(phat, r, rhat, rho, arrs0)
+        shat = _bprecond(svec, var, bhier) if var.cycle else svec
+        x, r, omega, rnorm_dev = _bcg_advance(
+            shat, phat, svec, x, alpha, jnp.asarray(active), arrs0)
+
+        rnorm = np.where(active, np.asarray(rnorm_dev), rnorm)
+        active = active & (rnorm >= atol)
+        var.ssl_it += 1
+        if verb > 3:
+            rel = rnorm / np.where(bnrm == 0, 1.0, bnrm)
+            print(f"   ssl it {it:3}: max rel error {rel.max():.3e} "
+                  f"({(~active).sum()}/{active.size} converged)")
+        if not active.any():
+            break
+
+    return x, rnorm, it, rnorm < atol
 
 
 def _build_hierarchy_batched(vmodels, sc_dir, lr_dir, clevel_max, mesh=None,
@@ -144,9 +325,11 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
         Device mesh; the task axis is sharded over its ``axis``.  The
         batch is padded up to a multiple of the mesh size.
     kwargs
-        Multigrid options (tol, maxit, cycle, semicoarsening,
-        linerelaxation, nu_*); the batched path runs plain multigrid
-        cycles (no outer Krylov).
+        Solver options as for solve(): tol, maxit, cycle, sslsolver,
+        semicoarsening, linerelaxation, nu_*, clevel.  Defaults are
+        plain multigrid cycles; ``sslsolver=True`` runs the production
+        configuration (batched MG-preconditioned BiCGSTAB; 'cgs' and
+        'gcrotmk' have no batched form).
 
     Returns
     -------
@@ -163,6 +346,10 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
     kwargs.setdefault("linerelaxation", False)
     var = solver.MGParameters(
         shape_cells=model.shape, verb=verb, **kwargs)
+    if var.sslsolver and var.sslsolver != 'bicgstab':
+        raise ValueError(
+            f"sslsolver='{var.sslsolver}' has no batched form; use "
+            "'bicgstab' (or parallel='task').")
 
     # Build per-task source fields and volume models (host, setup time).
     sfields = [fields.get_source_field(model.grid, src, freq)
@@ -179,58 +366,76 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
             vmodels.append(vmodels[-1])
         ntask += pad
 
-    meta, arrays = _build_hierarchy_batched(
-        vmodels, var.sc_dir, var.lr_dir, var.clevel[min(var.sc_dir, 3)],
-        mesh=mesh, axis=axis)
+    bhier = _BatchHierarchies(vmodels, var, mesh=mesh, axis=axis)
 
     s = tuple(jnp.stack(c) for c in zip(
         *[solver._field_to_dev(sf) for sf in sfields]))
     if mesh is not None:
         spec = NamedSharding(mesh, PartitionSpec(axis))
         s = tuple(jax.device_put(c, spec) for c in s)
-    e_hi = tuple(jnp.zeros_like(c) for c in s)
-    e_lo = e_hi
 
     l2_refe = np.array([np.linalg.norm(sf.field) for sf in sfields])
     l2_refe = np.where(l2_refe == 0.0, 1.0, l2_refe)
 
-    it = 0
-    first = True
-    exit_messages = ["MAX. ITERATION REACHED, NOT CONVERGED"] * ntask
-    while True:
-        r, l2_dev = _bresidual_norm_split(e_hi, e_lo, s, arrays[0])
-        l2 = np.asarray(l2_dev)
+    if var.sslsolver:
+        x, l2, it_ssl, conv = _bicgstab_batch(s, var, bhier, verb=verb)
+        exit_messages = ["CONVERGED" if c else
+                         "MAX. ITERATION REACHED, NOT CONVERGED"
+                         for c in conv]
+        it_mg, it_ssl = var.it, it_ssl
+        parts = x
+    else:
+        e_hi = tuple(jnp.zeros_like(c) for c in s)
+        e_lo = e_hi
 
-        rel = l2 / l2_refe
-        done = rel < var.tol
-        diverged = ~np.isfinite(l2) | (l2 > 10 * l2_refe)
-        if verb > 3 and it > 0:
-            print(f"   cycle {it:3}: max rel error {rel.max():.3e} "
-                  f"({done.sum()}/{ntask} converged)")
-        if np.all(done):
-            exit_messages = ["CONVERGED"] * ntask
-            break
-        if np.all(done | diverged):
-            exit_messages = ["CONVERGED" if d else "DIVERGED"
-                             for d in done]
-            break
-        if it >= var.maxit:
-            exit_messages = ["CONVERGED" if d else
-                             "MAX. ITERATION REACHED, NOT CONVERGED"
-                             for d in done]
-            break
+        it = 0
+        first = True
+        exit_messages = ["MAX. ITERATION REACHED, NOT CONVERGED"] * ntask
+        while True:
+            meta, arrays = bhier.get(var.sc_dir, var.lr_dir)
+            r, l2_dev = _bresidual_norm_split(e_hi, e_lo, s, arrays[0])
+            l2 = np.asarray(l2_dev)
 
-        de = _cycle_correction_batched(meta, arrays, r, var, first)
-        first = False
-        e_hi, e_lo = solver._accumulate_jit(e_hi, e_lo, de)
-        it += 1
+            rel = l2 / l2_refe
+            done = rel < var.tol
+            diverged = ~np.isfinite(l2) | (l2 > 10 * l2_refe)
+            if verb > 3 and it > 0:
+                print(f"   cycle {it:3}: max rel error {rel.max():.3e} "
+                      f"({done.sum()}/{ntask} converged)")
+            if np.all(done):
+                exit_messages = ["CONVERGED"] * ntask
+                break
+            if np.all(done | diverged):
+                exit_messages = ["CONVERGED" if d else "DIVERGED"
+                                 for d in done]
+                break
+            if it >= var.maxit:
+                exit_messages = ["CONVERGED" if d else
+                                 "MAX. ITERATION REACHED, NOT CONVERGED"
+                                 for d in done]
+                break
 
-    # Unstack into Fields (drop padding); combine the split field in the
-    # host dtype so the algebraic accuracy survives the export.
+            sc_next = (next(var.sc_cycle) if var.sc_cycle
+                       else var.sc_dir)
+            lr_next = (next(var.lr_cycle) if var.lr_cycle
+                       else var.lr_dir)
+            de = _cycle_correction_batched(meta, arrays, r, var, first)
+            first = False
+            e_hi, e_lo = solver._accumulate_jit(e_hi, e_lo, de)
+            var.sc_dir, var.lr_dir = sc_next, lr_next
+            it += 1
+
+        it_mg, it_ssl = it, 0
+        # Combine the split field in the host dtype so the algebraic
+        # accuracy survives the export.
+        dt = sfields[0].field.dtype
+        parts = tuple(
+            np.asarray(h, dtype=dt) + np.asarray(l, dtype=dt)
+            for h, l in zip(e_hi, e_lo))
+
+    # Unstack into Fields (drop padding).
     efields = []
-    dt = sfields[0].field.dtype
-    ex, ey, ez = (np.asarray(h, dtype=dt) + np.asarray(l, dtype=dt)
-                  for h, l in zip(e_hi, e_lo))
+    ex, ey, ez = (np.asarray(c) for c in parts)
     for i in range(nsrc):
         f = fields.Field(model.grid, dtype=sfields[i].field.dtype,
                          frequency=sfields[i]._frequency)
@@ -238,7 +443,8 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
         efields.append(f)
 
     info = {
-        "it_mg": it,
+        "it_mg": it_mg,
+        "it_ssl": it_ssl,
         "abs_error": l2[:nsrc],
         "rel_error": (l2 / l2_refe)[:nsrc],
         "ref_error": l2_refe[:nsrc],

@@ -50,7 +50,8 @@ class Simulation:
     # the jitted device solver; default) or 'batch' (all (source,
     # freq) pairs as one leading batch axis, vmapped and sharded over
     # a jax device mesh — the TPU-native replacement of the
-    # reference's process pool; needs gridding='same', plain cycles).
+    # reference's process pool; needs gridding='same'; plain cycles
+    # and the MG-preconditioned-BiCGSTAB production config both run).
     _SIMPLE_KWARGS = {'parallel': 'task', 'verb': 0, 'name': None,
                       'info': None, 'receiver_interpolation': 'cubic'}
 
@@ -65,11 +66,8 @@ class Simulation:
         self._init_solver_opts(kwargs.pop('solver_opts', {}))
         self._init_progress_bars(kwargs.pop('tqdm_opts', {}))
 
-        for name in ('_dict_grid', '_dict_efield', '_dict_efield_info'):
-            setattr(self, name, self._dict_initiate)
-        self._gradient = None
-        self._misfit = None
-        self._computed = False
+        self._reset_task_caches(grids=True)
+        self._forget_results()
 
         self.file_dir = kwargs.pop('file_dir', None)
         if self.file_dir:
@@ -83,8 +81,7 @@ class Simulation:
             raise TypeError(f"Unexpected **kwargs: {list(kwargs)}.")
 
         if 'synthetic' not in self.survey.data.keys():
-            self.survey.data['synthetic'] = self.data.observed.copy(
-                data=np.full(self.survey.shape, np.nan + 1j * np.nan))
+            self.survey.data['synthetic'] = self._nan_responses()
 
         # Warn early about MG-unfriendly shapes of user-fixed grids.
         if gridding == 'same':
@@ -101,6 +98,27 @@ class Simulation:
         self.tol_gradient = self.solver_opts.pop(
             'tol_gradient', self.tol_forward)
 
+    def _reset_task_caches(self, grids):
+        """Fresh (source, frequency) caches; optionally also the grids."""
+        blank = self._dict_initiate
+        if grids:
+            self._dict_grid = {k: dict(v) for k, v in blank.items()}
+        self._dict_efield = {k: dict(v) for k, v in blank.items()}
+        self._dict_efield_info = blank
+        for extra in ('_dict_bfield', '_dict_bfield_info'):
+            self.__dict__.pop(extra, None)
+
+    def _forget_results(self):
+        """Invalidate everything derived from solved fields."""
+        self._computed = False
+        self._misfit = None
+        self._gradient = None
+
+    def _nan_responses(self):
+        """An all-NaN data array in the survey's (src, rec, freq) shape."""
+        blank = np.full(self.survey.shape, np.nan + 1j * np.nan)
+        return self.data.observed.copy(data=blank)
+
     def _init_progress_bars(self, tqdm_opts):
         if isinstance(tqdm_opts, bool):
             tqdm_opts = {'disable': not tqdm_opts}
@@ -110,16 +128,20 @@ class Simulation:
         }
 
     def __repr__(self):
-        name = f" «{self.name}»" if self.name else ""
-        info = f"{self.info}\n" if self.info else ""
-        survey = f" «{self.survey.name}»" if self.survey.name else ""
-        return (f":: {self.__class__.__name__}{name} ::\n{info}\n"
-                f"- {self.survey.__class__.__name__}{survey}: "
-                f"{self.survey.shape[0]} sources; "
-                f"{self.survey.shape[1]} receivers; "
-                f"{self.survey.shape[2]} frequencies\n"
-                f"- {self.model.__repr__()}\n"
-                f"- Gridding: {self._info_grids}")
+        def tag(obj):
+            return f" «{obj.name}»" if obj.name else ""
+
+        ns, nr, nf = self.survey.shape
+        head = f":: {self.__class__.__name__}{tag(self)} ::\n"
+        if self.info:
+            head += f"{self.info}\n"
+        body = "\n".join([
+            f"- {self.survey.__class__.__name__}{tag(self.survey)}: "
+            f"{ns} sources; {nr} receivers; {nf} frequencies",
+            f"- {self.model!r}",
+            f"- Gridding: {self._info_grids}",
+        ])
+        return head + "\n" + body
 
     # ----------------------------------------------------------------------
     # (De-)serialization.
@@ -148,32 +170,21 @@ class Simulation:
 
         Reference simulations.py:354-412.
         """
-        if what not in ['computed', 'keepresults', 'all']:
+        if what not in ('computed', 'keepresults', 'all'):
             raise TypeError(f"Unrecognized `what`: {what}.")
 
         # All variants drop the fields; 'keepresults'/'all' also drop
         # the grids; 'computed'/'all' also drop the derived results.
-        if what != 'computed':
-            self._dict_grid = self._dict_initiate
-
-        self._dict_efield = self._dict_initiate
-        self._dict_efield_info = self._dict_initiate
-        for name in ['_dict_bfield', '_dict_bfield_info']:
-            if hasattr(self, name):
-                delattr(self, name)
+        self._reset_task_caches(grids=what != 'computed')
         if self.file_dir:
-            for p in Path(self.file_dir).glob('[ebg]field_*.h5'):
-                p.unlink()
+            for spill in Path(self.file_dir).glob('[ebg]field_*.h5'):
+                spill.unlink()
 
         if what != 'keepresults':
-            self._computed = False
-            for key in ['residual', 'weights']:
-                if key in self.data.keys():
-                    del self.data[key]
-            self.data['synthetic'] = self.data.observed.copy(
-                data=np.full(self.survey.shape, np.nan + 1j * np.nan))
-            self._gradient = None
-            self._misfit = None
+            self._forget_results()
+            for key in {'residual', 'weights'} & set(self.data.keys()):
+                del self.data[key]
+            self.data['synthetic'] = self._nan_responses()
 
     def copy(self, what='computed'):
         """Return a copy of the Simulation."""
@@ -184,40 +195,30 @@ class Simulation:
 
         Reference simulations.py:422-484.
         """
-        if hasattr(self, '_what_to_file'):
-            what = self._what_to_file
-            delattr(self, '_what_to_file')
-
-        if what not in ['computed', 'results', 'all', 'plain']:
+        what = self.__dict__.pop('_what_to_file', what)
+        if what not in ('computed', 'results', 'all', 'plain'):
             raise TypeError(f"Unrecognized `what`: {what}.")
 
         self.solver_opts['tol'] = self.tol_forward
-        out = {
-            '__class__': self.__class__.__name__,
-            'survey': self.survey.to_dict(),
-            'model': self.model.to_dict(),
-        }
+        out = {'__class__': self.__class__.__name__,
+               'survey': self.survey.to_dict(),
+               'model': self.model.to_dict()}
         out.update((key, getattr(self, attr))
                    for key, attr in self._STATE_ATTRS)
 
         if what == 'plain':
-            for key in ['synthetic', 'residual', 'weights']:
-                if key in out['survey']['data'].keys():
-                    del out['survey']['data'][key]
+            stored = out['survey']['data']
+            for key in {'synthetic', 'residual', 'weights'} & set(stored):
+                del stored[key]
+        else:
+            out.update(gradient=self._gradient, misfit=self._misfit,
+                       computed=self._computed)
+            if what != 'results':
+                out.update((name, getattr(self, name))
+                           for name in self._TASK_DICTS
+                           if hasattr(self, name))
 
-        if what in ['computed', 'all']:
-            for name in self._TASK_DICTS:
-                if hasattr(self, name):
-                    out[name] = getattr(self, name)
-
-        if what in ['computed', 'results', 'all']:
-            out['gradient'] = self._gradient
-            out['misfit'] = self._misfit
-            out['computed'] = self._computed
-
-        if copy:
-            return deepcopy(out)
-        return out
+        return deepcopy(out) if copy else out
 
     @classmethod
     def from_dict(cls, inp):
@@ -286,18 +287,22 @@ class Simulation:
         return sim
 
     def to_file(self, fname, what='computed', name='simulation', **kwargs):
-        """Store the Simulation to a file (reference simulations.py:547)."""
-        kwargs[name] = self
+        """Store the Simulation to a file (reference simulations.py:547).
+
+        ``what`` is smuggled to ``to_dict`` through a transient
+        attribute because io.save serializes via to_dict without
+        arguments.
+        """
         self._what_to_file = what
-        return io.save(fname, **kwargs)
+        return io.save(fname, **{**kwargs, name: self})
 
     @classmethod
     def from_file(cls, fname, name='simulation', **kwargs):
         """Load a Simulation from a file (reference simulations.py:588)."""
-        out = io.load(fname, **kwargs)
-        if kwargs.get('verb', 0) < 0:
-            return out[0][name], out[1]
-        return out[name]
+        loaded = io.load(fname, **kwargs)
+        if kwargs.get('verb', 0) < 0:      # (data, info-string) form.
+            return loaded[0][name], loaded[1]
+        return loaded[name]
 
     # ----------------------------------------------------------------------
     # Grids, models, fields.
@@ -355,38 +360,40 @@ class Simulation:
 
     def get_model(self, source, frequency):
         """Model interpolated to the task grid."""
-        grid = self.get_grid(source, self._freq_inp2key(frequency))
-        return self.model.interpolate_to_grid(grid)
+        return self.model.interpolate_to_grid(
+            self.get_grid(source, frequency))
 
     def get_efield(self, source, frequency):
         """Electric field for (source, frequency); computes if missing."""
-        freq = self._freq_inp2key(frequency)
-        if self._dict_get('efield', source, freq) is None:
-            self.compute(source=source, frequency=freq)
-        return self._dict_get('efield', source, freq)
+        return self._dict_get('efield', source, frequency,
+                              solve_if_missing=True)
 
     def get_hfield(self, source, frequency):
         """Magnetic field for (source, frequency)."""
-        freq = self._freq_inp2key(frequency)
-        if self._dict_get('efield', source, freq) is None:
-            self.compute(source=source, frequency=freq)
+        efield = self.get_efield(source, frequency)
         return fields.get_magnetic_field(
-            self.get_model(source, freq),
-            self._dict_get('efield', source, freq))
+            self.get_model(source, frequency), efield)
 
     def get_efield_info(self, source, frequency):
         """Solver info of the (source, frequency) computation."""
-        return self._dict_get(
-            'efield_info', source, self._freq_inp2key(frequency))
+        return self._dict_get('efield_info', source, frequency)
 
-    def _dict_get(self, which, source, frequency):
-        """dict lookup that works for file-based computations too."""
-        value = getattr(self, f"_dict_{which}")[source][frequency]
-        return self._load(value, ['efield', 'info']['info' in which])
+    def _dict_get(self, which, source, frequency, solve_if_missing=False):
+        """Cached per-task value; optionally triggers the missing solve.
+
+        Transparent to ``file_dir`` spilling: a cached str is an h5
+        path and is read back on access.
+        """
+        freq = self._freq_inp2key(frequency)
+        cache = getattr(self, f"_dict_{which}")
+        if cache[source][freq] is None and solve_if_missing:
+            self.compute(source=source, frequency=freq)
+        part = 'info' if which.endswith('info') else 'efield'
+        return self._load(cache[source][freq], part)
 
     def _load(self, value, what):
-        """Return value (memory) or load value[what] (file-based)."""
-        if self.file_dir and value is not None and isinstance(value, str):
+        """Resolve a cached value, reading the h5 spill if file-based."""
+        if isinstance(value, str) and self.file_dir:
             return io.load(value, verb=0)[what]
         return value
 
@@ -436,20 +443,19 @@ class Simulation:
         Reference simulations.py:795-833.  ``observed=True`` stores the
         synthetic responses as observed and adds noise (if configured).
         """
-        source = kwargs.pop('source', None)
-        frequency = kwargs.pop('frequency', None)
+        task = (kwargs.pop('source', None), kwargs.pop('frequency', None))
         if self.layered:
-            if source or frequency:
+            if any(task):
                 raise NotImplementedError("No fields if `layered` is used.")
             self._compute_1d()
         else:
-            self._compute([(source, frequency)])
+            self._compute([task])
 
         if observed:
             self.data['observed'] = self.data['synthetic'].copy()
             if kwargs.pop('add_noise', True):
                 self.survey.add_noise(**kwargs)
-        elif source is None and frequency is None:
+        elif task == (None, None):
             self._computed = True
 
     def _solve_tasks(self, kind, srcfreq, payload, desc, tol):
@@ -523,8 +529,10 @@ class Simulation:
             mesh = batch.make_task_mesh()
 
         sopts = {k: v for k, v in self.solver_opts.items()
-                 if k in ('tol', 'maxit', 'cycle', 'nu_init', 'nu_pre',
-                          'nu_coarse', 'nu_post', 'verb')}
+                 if k in ('tol', 'maxit', 'cycle', 'sslsolver',
+                          'semicoarsening', 'linerelaxation', 'clevel',
+                          'nu_init', 'nu_pre', 'nu_coarse', 'nu_post',
+                          'verb')}
         sopts['tol'] = self.tol_forward
 
         efields, info = batch.solve_batch(
@@ -538,7 +546,7 @@ class Simulation:
                 'abs_error': float(info['abs_error'][i]),
                 'rel_error': float(info['rel_error'][i]),
                 'it_mg': info['it_mg'],
-                'it_ssl': 0,
+                'it_ssl': info.get('it_ssl', 0),
                 'tol': info['tol'],
             }
             resp = self._get_responses(src, freq)
@@ -598,26 +606,30 @@ class Simulation:
         if self._misfit is None:
             if not self._computed:
                 self.compute()
-
-            if 'weights' not in self.data.keys():
-                std = self.survey.standard_deviation
-                if std is None:
-                    raise ValueError(
-                        "Either `noise_floor` or `relative_error` or both "
-                        "must be provided (>0) to compute the "
-                        "`standard_deviation`. It can also be set "
-                        "directly (same shape as data). The standard "
-                        "deviation is required to compute the misfit.")
-                self.data['weights'] = std ** -2
+            self._ensure_weights()
 
             self.data['residual'] = (
                 self.data.synthetic - self.data.observed)
-
-            r = self.data.residual.data
-            self._misfit = 0.5 * float(np.nansum(
-                self.data.weights.data * (r.real ** 2 + r.imag ** 2)))
+            r = np.asarray(self.data.residual)
+            w = np.asarray(self.data.weights)
+            self._misfit = 0.5 * float(
+                np.nansum(w * (r.real**2 + r.imag**2)))
 
         return self._misfit
+
+    def _ensure_weights(self):
+        """Derive the data weights 1/std² on first use."""
+        if 'weights' in self.data.keys():
+            return
+        std = self.survey.standard_deviation
+        if std is None:
+            raise ValueError(
+                "The misfit needs data weights: set `noise_floor` "
+                "and/or `relative_error` (> 0) on the survey so the "
+                "`standard_deviation` can be derived, or assign "
+                "`survey.standard_deviation` directly (same shape as "
+                "the data).")
+        self.data['weights'] = std ** -2
 
     @property
     def gradient(self):
@@ -640,12 +652,14 @@ class Simulation:
                         "`receiver_interpolation='linear'` in the call "
                         "to Simulation().", UserWarning)
 
-                var = (self.model.epsilon_r, self.model.mu_r)
-                nam = ('el. permittivity', 'magn. permeability')
-                for v, n in zip(var, nam):
-                    if v is not None and not np.allclose(v, 1.0):
+                non_unity = {
+                    'el. permittivity': self.model.epsilon_r,
+                    'magn. permeability': self.model.mu_r,
+                }
+                for what, values in non_unity.items():
+                    if values is not None and not np.allclose(values, 1.0):
                         raise NotImplementedError(
-                            f"Gradient not implemented for {n}.")
+                            f"Gradient not implemented for {what}.")
 
                 self._bcompute()
 
@@ -707,9 +721,8 @@ class Simulation:
 
     def _bcompute(self):
         """Back-propagate the residual fields (simulations.py:1193-1233)."""
-        if not hasattr(self, '_dict_bfield'):
-            self._dict_bfield = self._dict_initiate
-            self._dict_bfield_info = self._dict_initiate
+        for cache in ('_dict_bfield', '_dict_bfield_info'):
+            self.__dict__.setdefault(cache, self._dict_initiate)
 
         def bfield_payload(src, freq):
             return {
@@ -762,21 +775,22 @@ class Simulation:
 
         _ = self.misfit  # Ensures fields are computed.
 
-        vector = np.asarray(vector)
+        vector = np.array(vector, copy=True)
         if vector.ndim == 3:
-            vector = vector[None, ...].copy()
-        else:
-            vector = vector.copy()
+            vector = vector[None]
 
-        self.model.map.derivative_chain(
-            vector[0, ...], self.model.property_x)
-        if self.model.case in ['HTI', 'triaxial']:
-            self.model.map.derivative_chain(
-                vector[1, ...], self.model.property_y)
-        if self.model.case in ['VTI', 'triaxial']:
-            n = 1 if self.model.case == 'VTI' else 2
-            self.model.map.derivative_chain(
-                vector[n, ...], self.model.property_z)
+        # The vector's leading slots hold one component per
+        # parameterized property of the anisotropy case; each goes
+        # through the property-map chain rule in place.
+        m = self.model
+        case_props = {
+            'isotropic': (m.property_x,),
+            'HTI': (m.property_x, m.property_y),
+            'VTI': (m.property_x, m.property_z),
+            'triaxial': (m.property_x, m.property_y, m.property_z),
+        }
+        for slot, prop in enumerate(case_props[m.case]):
+            m.map.derivative_chain(vector[slot], prop)
 
         iopts = {'method': 'volume', 'extrapolate': True,
                  'log': False, 'grid': self.model.grid}
@@ -803,8 +817,7 @@ class Simulation:
                                 'Compute jvec', self.tol_gradient)
 
         if 'jvec' not in self.data.keys():
-            self.data['jvec'] = self.data.observed.copy(
-                data=np.full(self.survey.shape, np.nan + 1j * np.nan))
+            self.data['jvec'] = self._nan_responses()
 
         for (src, freq), result in zip(self._srcfreq, out):
             gfield = self._load(result[0], 'efield')
@@ -820,15 +833,15 @@ class Simulation:
         """
         _ = self.misfit  # Ensure weights/residual exist.
 
+        # Implant v/w as the "residual" so the adjoint solve
+        # back-propagates v instead of w·r; then rebuild the gradient.
         with np.errstate(invalid='ignore'):
             self.data.residual[...] = (
-                np.asarray(vector) / self.data.weights.data)
+                np.asarray(vector) / np.asarray(self.data.weights))
 
         self._gradient = None
-        for name in ['_dict_bfield', '_dict_bfield_info']:
-            if hasattr(self, name):
-                delattr(self, name)
-
+        self.__dict__.pop('_dict_bfield', None)
+        self.__dict__.pop('_dict_bfield_info', None)
         return self.gradient
 
     # ----------------------------------------------------------------------
@@ -913,40 +926,48 @@ class Simulation:
     # ----------------------------------------------------------------------
 
     def _set_model(self, model, kwargs):
-        """Set self.model and self.gridding_opts (simulations.py:1616)."""
-        self._input_sc2 = kwargs.pop('_input_sc2', model.shape[2])
+        """Set self.model and self.gridding_opts (simulations.py:1616).
 
-        gridding_opts = kwargs.pop('gridding_opts', {})
+        What ``gridding_opts`` means depends on the mode: 'dict' — the
+        full per-task grid table; 'input' — one ready-made grid;
+        'same' — nothing (forbidden); all constructed modes — hints
+        for the automatic gridding search, completed here.
+        """
+        self._input_sc2 = kwargs.pop('_input_sc2', model.shape[2])
+        opts = kwargs.pop('gridding_opts', {})
 
         if self.gridding == 'dict':
-            self._dict_grid = gridding_opts
+            self._dict_grid = opts
         elif self.gridding == 'input':
-            self._grid_single = gridding_opts
+            self._grid_single = opts
         elif self.gridding == 'same':
-            if gridding_opts:
+            if opts:
                 raise TypeError(
                     "`gridding_opts` is not permitted if "
                     "`gridding='same'`.")
         else:
-            g_opts = dict(gridding_opts)
-            expand = g_opts.pop('expand', None)
-            if expand is not None:
-                warnings.warn(
-                    "emg3d: `expand` is deprecated; a property-complete "
-                    "model has to be provided.", FutureWarning)
-                try:
-                    interface = g_opts['seasurface']
-                except KeyError as e:
-                    raise KeyError(
-                        "`g_opts['seasurface']` is required if "
-                        "`g_opts['expand']` is provided.") from e
-                model = models.expand_grid_model(model, expand, interface)
+            opts = dict(opts)
+            model = self._apply_expand(model, opts)
+            opts = meshes.estimate_gridding_opts(
+                opts, model, self.survey, self._input_sc2)
 
-            gridding_opts = meshes.estimate_gridding_opts(
-                g_opts, model, self.survey, self._input_sc2)
-
-        self.gridding_opts = gridding_opts
+        self.gridding_opts = opts
         self.model = model
+
+    @staticmethod
+    def _apply_expand(model, opts):
+        """Deprecated ``expand``: grow the model up to the sea surface."""
+        expand = opts.pop('expand', None)
+        if expand is None:
+            return model
+        warnings.warn(
+            "emg3d: `expand` is deprecated; a property-complete "
+            "model has to be provided.", FutureWarning)
+        if 'seasurface' not in opts:
+            raise KeyError(
+                "`gridding_opts['seasurface']` is required when "
+                "`expand` is given.")
+        return models.expand_grid_model(model, expand, opts['seasurface'])
 
     @property
     def layered(self):

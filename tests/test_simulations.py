@@ -292,6 +292,48 @@ class TestBatchParallel:
         info = sim_b.get_efield_info('TxED-1', 'f-1')
         assert info['exit_message'] == 'CONVERGED'
 
+    @pytest.mark.slow
+    def test_batch_production_config(self):
+        """The reference's default production configuration — MG-
+        preconditioned BiCGSTAB with semicoarsening + line relaxation
+        (reference emg3d/solver.py:82-140) — runs in the sharded batch
+        path and reproduces the per-task solves.
+
+        The per-task reference runs the plain config (its executables
+        are shared with test_batch_matches_task; both solve the same
+        physics to tolerance).  Caches are cleared first: the batched
+        line smoothers alone push the process towards the
+        vm.max_map_count LLVM segfault (see conftest).
+        """
+        import jax
+        jax.clear_caches()
+
+        model, sim_inp = make_inputs(nsrc=2)
+        sim_t = e3.Simulation(model=model, **sim_inp)
+        sim_t.compute()
+        ref = np.asarray(sim_t.data.synthetic).copy()
+
+        sim_inp2 = dict(sim_inp)
+        sim_inp2['survey'] = sim_inp['survey'].copy()
+        sim_inp2['solver_opts'] = {
+            'sslsolver': True, 'semicoarsening': True,
+            'linerelaxation': True, 'tol': 5e-7, 'verb': 0}
+        sim_b = e3.Simulation(model=model, parallel='batch', **sim_inp2)
+        sim_b.compute()
+        out = np.asarray(sim_b.data.synthetic)
+
+        np.testing.assert_allclose(out, ref, rtol=1e-4)
+        info = sim_b.get_efield_info('TxED-1', 'f-1')
+        assert info['exit_message'] == 'CONVERGED'
+        assert info['it_ssl'] > 0
+
+    def test_batch_rejects_unbatchable_krylov(self):
+        from emg3d_tpu.parallel import batch
+        model, sim_inp = make_inputs()
+        with pytest.raises(ValueError, match='no batched form'):
+            batch.solve_batch(model, [(0., 0., 0., 0., 0.)], [1.0],
+                              sslsolver='cgs')
+
     def test_batch_requires_same_gridding(self):
         model, sim_inp = make_inputs()
         sim_inp = dict(sim_inp)
