@@ -13,6 +13,7 @@ Class hierarchy (mirroring the reference):
 """
 
 from copy import deepcopy
+from functools import cached_property
 
 import numpy as np
 import scipy as sp
@@ -31,6 +32,17 @@ def __dir__():
     return __all__
 
 
+def _fmt_center(p):
+    return f"center={{{p[0]:,.1f}; {p[1]:,.1f}; {p[2]:,.1f}}} m; "
+
+
+def _fmt_repr(head, first, rest):
+    """Class header plus a body that wraps onto a third line if long."""
+    if len(first) + len(rest) < 80:
+        return f"{head}\n    {first}{rest}"
+    return f"{head}\n    {first}\n    {rest}"
+
+
 class Wire:
     """An arbitrary number of electrodes connected in series.
 
@@ -40,46 +52,54 @@ class Wire:
     _serialize = {"coordinates"}
 
     def __init__(self, coordinates):
-        self._points = np.asarray(np.atleast_2d(coordinates), dtype=float)
-        if not (self._points.ndim == 2 and self._points.shape[1] == 3):
+        pts = np.atleast_2d(np.asarray(coordinates, dtype=float))
+        if pts.ndim != 2 or pts.shape[-1] != 3:
             raise ValueError(
                 "`coordinates` must be of shape (x, 3), provided: "
                 f"{coordinates}")
+        self._points = pts
 
-    def __eq__(self, electrode):
-        equal = self.__class__.__name__ == electrode.__class__.__name__
-        if equal:
-            for name in self._serialize:
-                comp = getattr(self, name)
-                other = getattr(electrode, name)
-                if isinstance(comp, np.ndarray):
-                    equal *= np.allclose(comp, other)
-                else:
-                    equal *= comp == other
-        return bool(equal)
+    # ------------------------------------------------------------------
+    # Identity and (de-)serialization.
+    # ------------------------------------------------------------------
 
-    def __repr__(self):
-        add = getattr(self, "_repr_add", "")
-        s0 = f"{self.__class__.__name__}: {add}\n"
-        s1 = (f"    center={{{self.center[0]:,.1f}; "
-              f"{self.center[1]:,.1f}; {self.center[2]:,.1f}}} m; ")
-        s2 = f"n={self.segment_n}; l={self.length:,.1f} m"
-        return s0 + s1 + s2 if len(s1 + s2) < 80 else s0 + s1 + "\n    " + s2
-
-    def copy(self):
-        """Return a copy of the electrode."""
-        return self.from_dict(self.to_dict(True))
+    def __eq__(self, other):
+        if type(self).__name__ != type(other).__name__:
+            return False
+        for key in self._serialize:
+            mine = getattr(self, key)
+            theirs = getattr(other, key)
+            same = (np.allclose(mine, theirs)
+                    if isinstance(mine, np.ndarray) else mine == theirs)
+            if not same:
+                return False
+        return True
 
     def to_dict(self, copy=False):
         """Store the necessary information in a dict."""
-        out = {"__class__": self.__class__.__name__,
-               **{prop: getattr(self, prop) for prop in self._serialize}}
+        out = {"__class__": type(self).__name__}
+        out.update((key, getattr(self, key)) for key in self._serialize)
         return deepcopy(out) if copy else out
 
     @classmethod
     def from_dict(cls, inp):
         """Re-create the electrode from a dict as given by ``to_dict``."""
-        return cls(**{k: v for k, v in inp.items() if k != "__class__"})
+        inp = {k: v for k, v in inp.items() if k != "__class__"}
+        return cls(**inp)
+
+    def copy(self):
+        """Return a copy of the electrode."""
+        return self.from_dict(self.to_dict(True))
+
+    def __repr__(self):
+        head = f"{type(self).__name__}: {getattr(self, '_repr_add', '')}"
+        return _fmt_repr(
+            head, _fmt_center(self.center),
+            f"n={self.segment_n}; l={self.length:,.1f} m")
+
+    # ------------------------------------------------------------------
+    # Geometry.
+    # ------------------------------------------------------------------
 
     @property
     def points(self):
@@ -91,46 +111,40 @@ class Wire:
         """Electrode coordinates as accepted by its class."""
         return getattr(self, "_coordinates", self._points)
 
-    @property
+    @cached_property
     def xtype(self):
         """'electric' or 'magnetic' (idealized-dipole flag)."""
-        if not hasattr(self, "_xtype"):
-            self._xtype = ("magnetic" if "Magnetic" in
-                           self.__class__.__name__ else "electric")
-        return self._xtype
+        return ("magnetic" if "Magnetic" in type(self).__name__
+                else "electric")
 
-    @property
+    @cached_property
     def center(self):
         """Center point of all unique electrodes."""
-        if not hasattr(self, "_center"):
-            self._center = np.unique(self.points, axis=0).mean(axis=0)
-        return self._center
+        return np.unique(self.points, axis=0).mean(axis=0)
+
+    @cached_property
+    def segment_lengths(self):
+        """Length of each individual dipole segment."""
+        return np.linalg.norm(np.diff(self.points, axis=0), axis=1)
 
     @property
     def length(self):
         """Total length of all dipole segments."""
         if not hasattr(self, "_length"):
-            lengths = np.linalg.norm(np.diff(self.points, axis=0), axis=1)
-            self._segment_lengths = lengths
-            self._length = lengths.sum()
+            self._length = self.segment_lengths.sum()
         return self._length
-
-    @property
-    def segment_lengths(self):
-        """Length of each individual dipole segment."""
-        _ = self.length
-        return self._segment_lengths
 
     @property
     def segment_n(self):
         """Number of dipole segments."""
         return len(self.segment_lengths)
 
-    @property
+    @cached_property
     def _prefix(self):
-        """Prefix for survey dict keys, e.g. TxED for TxElectricDipole."""
-        name = self.__class__.__name__
-        return name[:2] + "".join(c for c in name if c.isupper())[1:]
+        """Survey dict key prefix, e.g. TxED for TxElectricDipole."""
+        name = type(self).__name__
+        caps = [c for c in name if c.isupper()]
+        return name[:2] + "".join(caps[1:])
 
 
 class Point(Wire):
@@ -149,12 +163,11 @@ class Point(Wire):
         super().__init__(coordinates[:3])
 
     def __repr__(self):
-        add = getattr(self, "_repr_add", "")
-        s0 = f"{self.__class__.__name__}: {add}\n"
-        s1 = (f"    x={self.center[0]:,.1f} m, y={self.center[1]:,.1f} m, "
-              f"z={self.center[2]:,.1f} m, ")
-        s2 = f"θ={self.azimuth:.1f}°, φ={self.elevation:.1f}°"
-        return s0 + s1 + s2 if len(s1 + s2) < 80 else s0 + s1 + "\n    " + s2
+        head = f"{type(self).__name__}: {getattr(self, '_repr_add', '')}"
+        x, y, z = self.center
+        return _fmt_repr(
+            head, f"x={x:,.1f} m, y={y:,.1f} m, z={z:,.1f} m, ",
+            f"θ={self.azimuth:.1f}°, φ={self.elevation:.1f}°")
 
     @property
     def azimuth(self):
@@ -177,39 +190,31 @@ class Dipole(Wire):
     """
 
     def __init__(self, coordinates, length=1.0):
-        coordinates = np.asarray(coordinates, dtype=np.float64).squeeze()
-        is_point = coordinates.shape == (5,)
-        is_flat = coordinates.shape == (6,)
-        is_dipole = coordinates.shape == (2, 3)
+        coo = np.asarray(coordinates, dtype=np.float64).squeeze()
+        magnetic = self.xtype == "magnetic"
 
-        if is_point:
+        if coo.shape == (5,):
+            # Center + angles + length.
             self._serialize = {"length"} | self._serialize
-            if self.xtype == "magnetic":
-                points = point_to_square_loop(coordinates, length)
-            else:
-                points = point_to_dipole(coordinates, length)
+            self._coordinates = coo
             self._length = length
-            self._coordinates = coordinates
+            points = (point_to_square_loop(coo, length) if magnetic
+                      else point_to_dipole(coo, length))
 
-        elif is_flat or is_dipole:
-            if is_flat:
-                points = coordinates.reshape((2, 3), order="F")
-                self._coordinates = coordinates
-            else:
-                points = coordinates
-
-            if self.xtype == "magnetic":
-                azimuth, elevation, length = dipole_to_point(points)
-                center = tuple(np.sum(points, 0) / 2)
-                points = point_to_square_loop(
-                    (*center, azimuth, elevation), length)
-                self._coordinates = coordinates
-
-            if np.allclose(points[0, :], points[1, :]):
+        elif coo.shape in ((6,), (2, 3)):
+            # Two endpoints, flat (Fortran-ordered) or stacked.
+            points = coo.reshape((2, 3), order="F") if coo.ndim == 1 else coo
+            self._coordinates = coo
+            if np.allclose(points[0], points[1]):
                 raise ValueError(
                     "The two electrodes are identical, use the format "
                     "(x, y, z, azimuth, elevation) instead. "
                     f"Provided coordinates: {coordinates}.")
+            if magnetic:
+                azimuth, elevation, length = dipole_to_point(points)
+                center = points.mean(axis=0)
+                points = point_to_square_loop(
+                    (*center, azimuth, elevation), length)
 
         else:
             raise ValueError(
@@ -221,40 +226,36 @@ class Dipole(Wire):
         super().__init__(points)
 
     def __repr__(self):
-        add = getattr(self, "_repr_add", "")
-        s0 = f"{self.__class__.__name__}: {add}\n"
+        head = f"{type(self).__name__}: {getattr(self, '_repr_add', '')}"
         if self.coordinates.size == 5:
-            s1 = (f"    center={{{self.center[0]:,.1f}; "
-                  f"{self.center[1]:,.1f}; {self.center[2]:,.1f}}} m; ")
-            s2 = (f"θ={self.azimuth:.1f}°, φ={self.elevation:.1f}°; "
-                  f"l={self.length:,.1f} m")
-        else:
-            if self.xtype == "magnetic":
-                points = np.ravel(self.coordinates, order="F")
-            else:
-                points = self.points.ravel("F")
-            s1 = (f"    e1={{{points[0]:,.1f}; {points[2]:,.1f}; "
-                  f"{points[4]:,.1f}}} m; ")
-            s2 = (f"e2={{{points[1]:,.1f}; {points[3]:,.1f}; "
-                  f"{points[5]:,.1f}}} m")
-        return s0 + s1 + s2 if len(s1 + s2) < 80 else s0 + s1 + "\n    " + s2
+            return _fmt_repr(
+                head, _fmt_center(self.center),
+                f"θ={self.azimuth:.1f}°, φ={self.elevation:.1f}°; "
+                f"l={self.length:,.1f} m")
+        e1, e2 = np.asarray(self.coordinates,
+                            dtype=float).reshape((2, 3), order="F" if
+                                                 self.coordinates.ndim == 1
+                                                 else "C")
+        return _fmt_repr(
+            head,
+            f"e1={{{e1[0]:,.1f}; {e1[1]:,.1f}; {e1[2]:,.1f}}} m; ",
+            f"e2={{{e2[0]:,.1f}; {e2[1]:,.1f}; {e2[2]:,.1f}}} m")
+
+    @cached_property
+    def _angles(self):
+        if len(self.coordinates) == 5:
+            return tuple(self._coordinates[3:])
+        return dipole_to_point(self._points)[:2]
 
     @property
     def azimuth(self):
         """Anticlockwise rotation (°) from x-axis towards y-axis."""
-        if not hasattr(self, "_azimuth"):
-            if len(self.coordinates) == 5:
-                out = self._coordinates[3:]
-            else:
-                out = dipole_to_point(self._points)[:2]
-            self._azimuth, self._elevation = out
-        return self._azimuth
+        return self._angles[0]
 
     @property
     def elevation(self):
         """Anticlockwise (upwards) rotation (°) from the xy-plane."""
-        _ = self.azimuth
-        return self._elevation
+        return self._angles[1]
 
 
 class Source(Wire):
@@ -264,7 +265,7 @@ class Source(Wire):
 
     def __init__(self, strength, **kwargs):
         self._strength = strength
-        self._repr_add = f"{self.strength:,.1f} A;"
+        self._repr_add = f"{strength:,.1f} A;"
         super().__init__(**kwargs)
 
     @property
@@ -333,9 +334,8 @@ class Receiver(Wire):
             raise ValueError(f"Unknown data type '{data_type}'.")
         self._relative = relative
         self._data_type = data_type.lower()
-        self._repr_add = (
-            f"{['absolute', 'relative'][int(self.relative)]}; "
-            f"{self.data_type};")
+        kind = "relative" if relative else "absolute"
+        self._repr_add = f"{kind}; {self._data_type};"
         super().__init__(**kwargs)
 
     @property
@@ -350,15 +350,13 @@ class Receiver(Wire):
 
     def center_abs(self, source):
         """Return the center as an absolute position."""
-        if self.relative:
-            return source.center + self.center
-        return self.center
+        return self.center + (source.center if self.relative else 0.0)
 
     def coordinates_abs(self, source):
         """Return the coordinates as absolute positions."""
-        if not hasattr(self, "azimuth"):
-            return self.center_abs(source)
-        return (*self.center_abs(source), self.azimuth, self.elevation)
+        if hasattr(self, "azimuth"):
+            return (*self.center_abs(source), self.azimuth, self.elevation)
+        return self.center_abs(source)
 
 
 @utils._known_class
@@ -391,17 +389,17 @@ RxMagneticPoint._adjoint_source = TxMagneticPoint
 
 def point_to_dipole(point, length, deg=True):
     """Dipole endpoints from center point, angles, and length."""
-    xyz = rotation(point[3], point[4], deg=deg) * length / 2
-    return point[:3] + np.array([-xyz, xyz])
+    half = rotation(point[3], point[4], deg=deg) * (length / 2)
+    return np.stack([point[:3] - half, point[:3] + half])
 
 
 def dipole_to_point(dipole, deg=True):
     """Azimuth, elevation, and length of an electrode pair."""
-    dx, dy, dz = np.diff(dipole.T).squeeze()
-    length = np.linalg.norm([dx, dy, dz])
-    azimuth = np.angle(dx + 1j * dy, deg=deg)
-    elevation = np.angle(np.sqrt(dx ** 2 + dy ** 2) + 1j * dz, deg=deg)
-    return azimuth, elevation, length
+    dx, dy, dz = dipole[1] - dipole[0]
+    horiz = np.hypot(dx, dy)
+    azimuth = np.angle(complex(dx, dy), deg=deg)
+    elevation = np.angle(complex(horiz, dz), deg=deg)
+    return azimuth, elevation, np.hypot(horiz, dz)
 
 
 def point_to_square_loop(source, area):
@@ -410,10 +408,9 @@ def point_to_square_loop(source, area):
     Returns five points (closed rectangle).
     """
     half_diag = np.sqrt(area / 2)
-    xyz_hor = rotation(source[3] + 90.0, 0.0) * half_diag
-    xyz_ver = rotation(source[3], source[4] + 90.0) * half_diag
-    return source[:3] + np.stack(
-        [xyz_hor, xyz_ver, -xyz_hor, -xyz_ver, xyz_hor])
+    hor = rotation(source[3] + 90.0, 0.0) * half_diag
+    ver = rotation(source[3], source[4] + 90.0) * half_diag
+    return source[:3] + np.stack([hor, ver, -hor, -ver, hor])
 
 
 def rotation(azimuth, elevation, deg=True):
@@ -422,10 +419,8 @@ def rotation(azimuth, elevation, deg=True):
     azimuth: anticlockwise from x towards y; elevation: upwards from the
     xy-plane towards z (reference: emg3d/electrodes.py:825-872).
     """
-    if deg:
-        cos, sin = sp.special.cosdg, sp.special.sindg
-    else:
-        cos, sin = np.cos, np.sin
+    cos, sin = (sp.special.cosdg, sp.special.sindg) if deg else (
+        np.cos, np.sin)
     return np.array([cos(azimuth) * cos(elevation),
                      sin(azimuth) * cos(elevation),
                      sin(elevation)])

@@ -25,6 +25,45 @@ def __dir__():
     return __all__
 
 
+# (has property_y, has property_z) -> anisotropy case.
+_ANISOTROPY_CASES = {
+    (False, False): "isotropic",
+    (True, False): "HTI",
+    (False, True): "VTI",
+    (True, True): "triaxial",
+}
+
+
+class _MaterialProperty:
+    """Data descriptor for one optional (nx, ny, nz) model parameter.
+
+    Reads return the stored array (or None).  Writes update the stored
+    array in place after validation; writing to a parameter the model
+    was created without is an error (reference models.py:173-316 keeps
+    the five parameters behind individual property/setter pairs).
+    """
+
+    def __init__(self, doc):
+        self.__doc__ = doc
+
+    def __set_name__(self, owner, name):
+        self.public = name
+        self.slot = "_" + name
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        return getattr(obj, self.slot)
+
+    def __set__(self, obj, values):
+        if getattr(obj, self.slot) is None:
+            raise ValueError(
+                f"Model was initiated without `{self.public}`; "
+                "cannot set values.")
+        obj._validate(values, self.public)
+        getattr(obj, self.slot)[...] = np.asarray(values, dtype=np.float64)
+
+
 @utils._known_class
 class Model:
     """A model of cell-centered electromagnetic properties of the earth.
@@ -35,69 +74,67 @@ class Model:
     float64 arrays; the ``mapping`` decides what they physically mean.
     """
 
+    property_x = _MaterialProperty("Electrical property in x-direction.")
+    property_y = _MaterialProperty("Electrical property in y-direction.")
+    property_z = _MaterialProperty("Electrical property in z-direction.")
+    mu_r = _MaterialProperty("Relative magnetic permeability.")
+    epsilon_r = _MaterialProperty("Relative electric permittivity.")
+
+    _properties = ["property_x", "property_y", "property_z",
+                   "mu_r", "epsilon_r"]
+
     def __init__(self, grid, property_x=1.0, property_y=None, property_z=None,
                  mu_r=None, epsilon_r=None, mapping="Resistivity"):
         self.grid = grid
         self.shape = tuple(grid.shape_cells)
         self.size = int(grid.n_cells)
 
-        if isinstance(mapping, maps.BaseMap):
-            self.map = mapping
-        else:
-            self.map = getattr(maps, "Map" + mapping)()
+        self.map = (mapping if isinstance(mapping, maps.BaseMap)
+                    else getattr(maps, "Map" + mapping)())
 
-        self._property_x = self._init_parameter(property_x, "property_x")
-        self._property_y = self._init_parameter(property_y, "property_y")
-        self._property_z = self._init_parameter(property_z, "property_z")
-        self._mu_r = self._init_parameter(mu_r, "mu_r")
-        self._epsilon_r = self._init_parameter(epsilon_r, "epsilon_r")
-        self._properties = ["property_x", "property_y", "property_z",
-                            "mu_r", "epsilon_r"]
+        given = {"property_x": property_x, "property_y": property_y,
+                 "property_z": property_z, "mu_r": mu_r,
+                 "epsilon_r": epsilon_r}
+        for name, values in given.items():
+            setattr(self, "_" + name, self._ingest(values, name))
 
-        if self._property_y is None and self._property_z is None:
-            self.case = "isotropic"
-        elif self._property_z is None:
-            self.case = "HTI"
-        elif self._property_y is None:
-            self.case = "VTI"
-        else:
-            self.case = "triaxial"
+        self.case = _ANISOTROPY_CASES[
+            self._property_y is not None, self._property_z is not None]
 
     def __repr__(self):
-        return (f"{self.__class__.__name__}: {self.map.description}; "
-                f"{self.case}{'' if self.mu_r is None else '; mu_r'}"
-                f"{'' if self.epsilon_r is None else '; epsilon_r'}"
-                f"; {self.shape[0]} x {self.shape[1]} x {self.shape[2]} "
+        extras = "".join(
+            f"; {name}" for name in ("mu_r", "epsilon_r")
+            if getattr(self, name) is not None)
+        nx, ny, nz = self.shape
+        return (f"{type(self).__name__}: {self.map.description}; "
+                f"{self.case}{extras}; {nx} x {ny} x {nz} "
                 f"({self.size:,})")
 
     # Operators -------------------------------------------------------------
 
-    def __add__(self, model):
-        if model.__class__.__name__ != "Model":
+    def _combine(self, other, ufunc):
+        if type(other).__name__ != "Model":
             return NotImplemented
-        self._operator_test(model)
-        kwargs = self._apply_operator(model, np.add)
-        return Model(grid=self.grid, mapping=self.map.name, **kwargs)
+        self._compatible(other)
+        merged = {prop: ufunc(getattr(self, prop), getattr(other, prop))
+                  for prop in self._def_properties}
+        return Model(grid=self.grid, mapping=self.map.name, **merged)
+
+    def __add__(self, model):
+        return self._combine(model, np.add)
 
     def __sub__(self, model):
-        if model.__class__.__name__ != "Model":
-            return NotImplemented
-        self._operator_test(model)
-        kwargs = self._apply_operator(model, np.subtract)
-        return Model(grid=self.grid, mapping=self.map.name, **kwargs)
+        return self._combine(model, np.subtract)
 
     def __eq__(self, model):
-        equal = model.__class__.__name__ == "Model"
-        if equal:
-            try:
-                self._operator_test(model)
-            except ValueError:
-                equal = False
-        if equal:
-            for prop in self._def_properties:
-                equal *= np.allclose(getattr(self, prop),
-                                     getattr(model, prop))
-        return bool(equal)
+        if type(model).__name__ != "Model":
+            return False
+        try:
+            self._compatible(model)
+        except ValueError:
+            return False
+        return all(np.allclose(getattr(self, prop), getattr(model, prop))
+                   for prop in self._def_properties)
 
     # Serialization ----------------------------------------------------------
 
@@ -108,7 +145,7 @@ class Model:
     def to_dict(self, copy=False):
         """Store the necessary information in a dict."""
         out = {
-            "__class__": self.__class__.__name__,
+            "__class__": type(self).__name__,
             "grid": meshes.TensorMesh(
                 self.grid.h, self.grid.origin).to_dict(),
             **{prop: getattr(self, prop) for prop in self._properties},
@@ -127,58 +164,6 @@ class Model:
             grid = MeshClass.from_dict(grid)
         return cls(grid=grid, **inp)
 
-    # Properties -------------------------------------------------------------
-
-    @property
-    def property_x(self):
-        """Electrical property in x-direction."""
-        return self._property_x
-
-    @property_x.setter
-    def property_x(self, values):
-        self._check_positive_finite(values, "property_x")
-        self._property_x[...] = np.asarray(values, dtype=np.float64)
-
-    @property
-    def property_y(self):
-        """Electrical property in y-direction."""
-        return self._property_y
-
-    @property_y.setter
-    def property_y(self, values):
-        self._check_positive_finite(values, "property_y")
-        self._property_y[...] = np.asarray(values, dtype=np.float64)
-
-    @property
-    def property_z(self):
-        """Electrical property in z-direction."""
-        return self._property_z
-
-    @property_z.setter
-    def property_z(self, values):
-        self._check_positive_finite(values, "property_z")
-        self._property_z[...] = np.asarray(values, dtype=np.float64)
-
-    @property
-    def mu_r(self):
-        """Relative magnetic permeability."""
-        return self._mu_r
-
-    @mu_r.setter
-    def mu_r(self, values):
-        self._check_positive_finite(values, "mu_r")
-        self._mu_r[...] = np.asarray(values, dtype=np.float64)
-
-    @property
-    def epsilon_r(self):
-        """Relative electric permittivity."""
-        return self._epsilon_r
-
-    @epsilon_r.setter
-    def epsilon_r(self, values):
-        self._check_positive_finite(values, "epsilon_r")
-        self._epsilon_r[...] = np.asarray(values, dtype=np.float64)
-
     @property
     def _def_properties(self):
         """List of the defined (not-None) properties."""
@@ -195,7 +180,7 @@ class Model:
         if grid == self.grid:
             return self
 
-        g2g_inp = {
+        opts = {
             "method": "volume",
             "extrapolate": True,
             "log": not self.map.name.startswith("L"),
@@ -203,13 +188,9 @@ class Model:
             "grid": self.grid,
             "xi": grid,
         }
-
-        model_inp = {}
-        for prop in self._def_properties:
-            model_inp[prop] = maps.interpolate(
-                values=getattr(self, prop), **g2g_inp)
-
-        return Model(grid, mapping=self.map.name, **model_inp)
+        moved = {prop: maps.interpolate(values=getattr(self, prop), **opts)
+                 for prop in self._def_properties}
+        return Model(grid, mapping=self.map.name, **moved)
 
     def extract_1d(self, method, p0, p1=None, ellipse=None, merge=False,
                    return_imat=False):
@@ -301,8 +282,8 @@ class Model:
 
     # Internal utilities -----------------------------------------------------
 
-    def _init_parameter(self, values, name):
-        """Cast, broadcast, and validate a property."""
+    def _ingest(self, values, name):
+        """Cast, broadcast, and validate a property at construction."""
         if values is None:
             return None
         values = np.asarray(values, dtype=np.float64)
@@ -311,44 +292,38 @@ class Model:
             # reference's Fortran-raveled 1-D representation
             # (emg3d/models.py:557-559).
             values = values.reshape(self.shape, order="F").copy()
-        elif values.shape != self.shape:
-            values = np.ones(self.shape) * values
-        else:
+        elif values.shape == self.shape:
             values = values.copy()
-        self._check_positive_finite(values, name)
+        else:
+            values = np.ones(self.shape) * values
+        self._validate(values, name)
         return values
 
-    def _check_positive_finite(self, values, name):
+    def _validate(self, values, name):
         """Check values are positive (as conductivities) and finite."""
-        if hasattr(self, "_" + name) and getattr(self, "_" + name) is None:
-            raise ValueError(
-                f"Model was initiated without `{name}`; cannot set values.")
-        if "property_" in name:
-            mapped = self.map.backward(np.asarray(values))
-        else:
-            mapped = np.asarray(values)
+        mapped = np.asarray(values)
+        if name.startswith("property_"):
+            mapped = self.map.backward(mapped)
         if not np.all(np.real(mapped) > 0.0):
             raise ValueError(f"`{name}` must be all bigger than zero.")
         if not np.all(np.isfinite(mapped)):
             raise ValueError(f"`{name}` must be all finite.")
 
-    def _operator_test(self, model):
+    def _compatible(self, model):
         """Consistency checks before add/sub/eq."""
-        if self.grid != model.grid:
-            raise ValueError("Models have different grids.")
-        if self.case != model.case:
-            raise ValueError("Models have different anisotropy.")
-        if (self.mu_r is None) != (model.mu_r is None):
-            raise ValueError("One model has mu_r, the other not.")
-        if (self.epsilon_r is None) != (model.epsilon_r is None):
-            raise ValueError("One model has epsilon_r, the other not.")
-        if self.map.name != model.map.name:
-            raise ValueError("Models have different mappings.")
-
-    def _apply_operator(self, model, operator):
-        """Apply operator to all defined properties of self and model."""
-        return {prop: operator(getattr(self, prop), getattr(model, prop))
-                for prop in self._def_properties}
+        mismatches = {
+            "Models have different grids.": self.grid != model.grid,
+            "Models have different anisotropy.": self.case != model.case,
+            "One model has mu_r, the other not.":
+                (self.mu_r is None) != (model.mu_r is None),
+            "One model has epsilon_r, the other not.":
+                (self.epsilon_r is None) != (model.epsilon_r is None),
+            "Models have different mappings.":
+                self.map.name != model.map.name,
+        }
+        for message, bad in mismatches.items():
+            if bad:
+                raise ValueError(message)
 
 
 class VolumeModel:
@@ -364,25 +339,20 @@ class VolumeModel:
         self.grid = meshes.TensorMesh(model.grid.h, model.grid.origin)
 
         vol = self.grid.cell_volumes_3d
+        displacement = (0.0 if model.epsilon_r is None else
+                        sfield.sval * sp.constants.epsilon_0
+                        * model.epsilon_r)
 
-        for name in model._properties[:3]:
-            prop = getattr(model, name)
+        def eta_of(prop):
             if prop is None:
-                eta = None
-            else:
-                cond = model.map.backward(prop)
-                if model.epsilon_r is None:  # Diffusive approximation.
-                    eta = -sfield.smu0 * vol * cond
-                else:
-                    seps = (sfield.sval * sp.constants.epsilon_0
-                            * model.epsilon_r)
-                    eta = -sfield.smu0 * vol * (cond + seps)
-            setattr(self, "_eta_" + name[-1], eta)
+                return None
+            sigma = model.map.backward(prop)
+            return -sfield.smu0 * vol * (sigma + displacement)
 
-        zeta = vol.copy()
-        if model.mu_r is not None:
-            zeta = zeta / model.mu_r
-        self._zeta = zeta
+        self._eta_x = eta_of(model.property_x)
+        self._eta_y = eta_of(model.property_y)
+        self._eta_z = eta_of(model.property_z)
+        self._zeta = vol if model.mu_r is None else vol / model.mu_r
 
     @property
     def eta_x(self):
@@ -392,14 +362,14 @@ class VolumeModel:
     @property
     def eta_y(self):
         """Volume-scaled eta in y-direction."""
-        if self.case in ["HTI", "triaxial"]:
+        if self.case in ("HTI", "triaxial"):
             return self._eta_y
         return self._eta_x
 
     @property
     def eta_z(self):
         """Volume-scaled eta in z-direction."""
-        if self.case in ["VTI", "triaxial"]:
+        if self.case in ("VTI", "triaxial"):
             return self._eta_z
         return self._eta_x
 

@@ -254,33 +254,33 @@ class Survey:
     switch for streamer-type acquisitions (surveys.py:55-60).
     """
 
+    # Optional metadata accepted as keyword arguments.
+    _META = ('noise_floor', 'relative_error', 'name', 'date', 'info')
+
     def __init__(self, sources, receivers, frequencies, data=None,
                  **kwargs):
         self._sources = txrx_lists_to_dict(sources)
-        if receivers is None:
-            self._receivers = {}
-        else:
-            self._receivers = txrx_lists_to_dict(receivers)
+        self._receivers = ({} if receivers is None
+                           else txrx_lists_to_dict(receivers))
         self._frequencies = frequencies_to_dict(frequencies)
 
         self._initiate_dataset(data)
 
-        self.noise_floor = kwargs.pop('noise_floor', None)
-        self.relative_error = kwargs.pop('relative_error', None)
-
-        self.name = kwargs.pop('name', None)
-        self.date = kwargs.pop('date', None)
-        self.info = kwargs.pop('info', None)
-
+        for key in self._META:
+            setattr(self, key, kwargs.pop(key, None))
         if kwargs:
             raise TypeError(f"Unexpected **kwargs: {list(kwargs.keys())}.")
 
     def __repr__(self):
-        name = f" «{self.name}»" if self.name else ""
-        date = f" {self.date}" if self.date else ""
-        info = f"{self.info}\n" if self.info else ""
-        return (f":: {self.__class__.__name__}{name} ::{date}\n{info}\n"
-                f"{self.data.__repr__()}")
+        head = f":: {type(self).__name__}"
+        if self.name:
+            head += f" «{self.name}»"
+        head += " ::"
+        if self.date:
+            head += f" {self.date}"
+        if self.info:
+            head += f"\n{self.info}"
+        return f"{head}\n\n{self.data!r}"
 
     def copy(self):
         """Return a copy of the Survey."""
@@ -288,22 +288,14 @@ class Survey:
 
     def to_dict(self, copy=False):
         """Store the necessary information of the Survey in a dict."""
-        out = {
-            '__class__': self.__class__.__name__,
-            'sources': {k: v.to_dict() for k, v in self.sources.items()},
-            'receivers': {k: v.to_dict()
-                          for k, v in self.receivers.items()},
-            'frequencies': self.frequencies,
-            'data': {k: v.data for k, v in self.data.items()},
-            'noise_floor': self.noise_floor,
-            'relative_error': self.relative_error,
-            'name': self.name,
-            'date': self.date,
-            'info': self.info,
-        }
-        if copy:
-            return pycopy.deepcopy(out)
-        return out
+        out = {'__class__': type(self).__name__}
+        for group in ('sources', 'receivers'):
+            out[group] = {k: v.to_dict()
+                          for k, v in getattr(self, group).items()}
+        out['frequencies'] = self.frequencies
+        out['data'] = {k: v.data for k, v in self.data.items()}
+        out.update((key, getattr(self, key)) for key in self._META)
+        return pycopy.deepcopy(out) if copy else out
 
     @classmethod
     def from_dict(cls, inp):
@@ -371,27 +363,16 @@ class Survey:
         empty source-receiver-frequency entries.
         """
         survey = self.to_dict()
+        wanted = {'sources': sources, 'receivers': receivers,
+                  'frequencies': frequencies}
         selection = {}
-
-        if sources is not None:
-            if isinstance(sources, str):
-                sources = [sources]
-            survey['sources'] = {s: survey['sources'][s] for s in sources}
-            selection['src'] = sources
-
-        if receivers is not None:
-            if isinstance(receivers, str):
-                receivers = [receivers]
-            survey['receivers'] = {
-                r: survey['receivers'][r] for r in receivers}
-            selection['rec'] = receivers
-
-        if frequencies is not None:
-            if isinstance(frequencies, str):
-                frequencies = [frequencies]
-            survey['frequencies'] = {
-                f: survey['frequencies'][f] for f in frequencies}
-            selection['freq'] = frequencies
+        for (group, names), dim in zip(wanted.items(),
+                                       ('src', 'rec', 'freq')):
+            if names is None:
+                continue
+            names = [names] if isinstance(names, str) else names
+            survey[group] = {n: survey[group][n] for n in names}
+            selection[dim] = names
 
         for key in survey['data'].keys():
             survey['data'][key] = self.data[key].sel(**selection).data
@@ -399,22 +380,20 @@ class Survey:
                 data = survey['data'][key]
                 remove_empty = bool(np.isfinite(data).any())
 
-        red_survey = Survey.from_dict(survey)
+        reduced = Survey.from_dict(survey)
+        if not remove_empty:
+            return reduced
 
-        if remove_empty:
-            def get_names(name, i0, i1, i2):
-                ibool = np.isnan(data).all(axis=(i1, i2))
-                ind = np.arange(data.shape[i0])[~ibool]
-                keys = survey[name].keys()
-                return [n for i, n in enumerate(keys) if i in ind]
+        # Second pass: drop rows/columns/slices that are all-NaN in the
+        # selected observed data.
+        def kept(group, axis):
+            others = tuple(i for i in range(3) if i != axis)
+            keep = ~np.isnan(data).all(axis=others)
+            return [n for n, k in zip(survey[group], keep) if k]
 
-            red_survey = red_survey.select(
-                sources=get_names('sources', 0, 1, 2),
-                receivers=get_names('receivers', 1, 0, 2),
-                frequencies=get_names('frequencies', 2, 0, 1),
-                remove_empty=False)
-
-        return red_survey
+        return reduced.select(
+            sources=kept('sources', 0), receivers=kept('receivers', 1),
+            frequencies=kept('frequencies', 2), remove_empty=False)
 
     @property
     def shape(self):
