@@ -818,6 +818,25 @@ def _whole_step_factory(meta, meta2, cfg_key, first):
     return step
 
 
+@functools.lru_cache(maxsize=None)
+def _whole_corr_factory(meta, cfg_key, first):
+    """One jitted executable: cycle + accumulate, without the residual.
+
+    The final cycle of the MG preconditioner (krylov) returns the
+    correction to the Krylov iteration directly — no next residual is
+    needed, so the fused program stops after the accumulate.
+    """
+    cfg = _CycleCfg(*cfg_key)
+
+    @jax.jit
+    def step(e_hi, e_lo, r, arrays):
+        de = _cycle_correction(meta, arrays, r, cfg, first,
+                               smooth=_smooth_dev)
+        return _accumulate_jit(e_hi, e_lo, de)
+
+    return step
+
+
 @_with_sync_dispatch
 def multigrid(model, sfield, efield, var, **kwargs):
     """Run multigrid cycles until a termination criterion fires.
@@ -955,8 +974,8 @@ def _terminate(var, l2_last, l2_stag, it):
 def krylov(model, sfield, efield, var):
     """MG-preconditioned Krylov solver (reference solver.py:652-784).
 
-    'bicgstab' runs natively with device-side vectors; 'cgs'/'gcrotmk'
-    fall back to scipy.sparse.linalg with device matvecs.
+    'bicgstab' and 'cgs' run natively with device-side vectors;
+    'gcrotmk' falls back to scipy.sparse.linalg with device matvecs.
     """
     hier = _Hierarchies(model, var)
 
@@ -994,11 +1013,31 @@ def krylov(model, sfield, efield, var):
             lr_next = next(var.lr_cycle) if var.lr_cycle else var.lr_dir
 
             def _prec_step(e_hi=e_hi, e_lo=e_lo, r=r, first=first,
-                           it=it):
+                           it=it, s=s):
                 meta, arrays = hier.get(var.sc_dir, var.lr_dir)
+                last = it + 1 == var.maxit
+
+                if _use_cycle_jit(var):
+                    # Whole-cycle executables: one dispatch + one sync
+                    # per preconditioner cycle (see the cycle-jit
+                    # block above) — the Krylov path is the production
+                    # default, so it needs the same latency shape.
+                    if last:
+                        corr = _whole_corr_factory(
+                            meta, _cycle_cfg_key(var), first)
+                        e_hi2, e_lo2 = corr(e_hi, e_lo, r, arrays)
+                        jax.block_until_ready(e_hi2)
+                        return e_hi2, e_lo2, None, None
+                    meta2, arrays2 = hier.get(sc_next, lr_next)
+                    step = _whole_step_factory(
+                        meta, meta2, _cycle_cfg_key(var), first)
+                    e_hi2, e_lo2, r2, l2_dev = step(
+                        e_hi, e_lo, s, arrays, arrays2, r)
+                    return e_hi2, e_lo2, r2, float(l2_dev)
+
                 de = _cycle_correction(meta, arrays, r, var, first)
                 e_hi2, e_lo2 = _accumulate_jit(e_hi, e_lo, de)
-                if it + 1 == var.maxit:
+                if last:
                     jax.block_until_ready(e_hi2)
                     return e_hi2, e_lo2, None, None
                 _, arrays2 = hier.get(sc_next, lr_next)
@@ -1050,16 +1089,19 @@ def krylov(model, sfield, efield, var):
         s = var.placement.place_field(s, var.shape_cells)
         e = var.placement.place_field(e, var.shape_cells)
 
-    if var.sslsolver == 'bicgstab':
+    if var.sslsolver in ('bicgstab', 'cgs'):
+        native = _bicgstab if var.sslsolver == 'bicgstab' else _cgs
         try:
-            e, i = _bicgstab(amatvec_dev, mg_precond_dev if var.cycle
-                             else None, s, e, var, callback)
+            e, i = native(amatvec_dev, mg_precond_dev if var.cycle
+                          else None, s, e, var, callback)
         except _ConvergenceError:
             i = -1
             e = tuple(jnp.zeros_like(c) for c in s)
             var.exit_message += " (returned field is zero)"
     else:
-        # scipy fallback for 'cgs' / 'gcrotmk'.
+        # scipy fallback for 'gcrotmk' (recycled-subspace method with
+        # host-side orthogonalization state; vectors round-trip per
+        # matvec — acceptable for this rarely-used variant).
         dtype = sfield.field.dtype
 
         def to_vec(t):
@@ -1189,6 +1231,59 @@ def _bicgstab(amatvec, precond, b, x0, var, callback):
             return x, 0
         if omega == 0:
             return x, -13
+
+    return x, var.ssl_maxit
+
+
+def _cgs(amatvec, precond, b, x0, var, callback):
+    """Preconditioned CGS with device-side vectors.
+
+    Conjugate Gradient Squared (Sonneveld), right-preconditioned;
+    fills the role of scipy.sparse.linalg.cgs in the reference
+    (solver.py:759-765) without the per-matvec host round trip.
+    Returns (x, info) with the scipy info convention.
+    """
+    bnrm = _norm_tup(b)
+    if bnrm == 0.0:
+        return b, 0
+
+    x = x0
+    r = tuple(bb - aa for bb, aa in zip(b, amatvec(x)))
+    rhat = r
+    rho = 1.0 + 0j
+    u = q = p = tuple(jnp.zeros_like(c) for c in b)
+
+    atol = max(1e-30, var.tol * bnrm)
+
+    for it in range(var.ssl_maxit):
+        rho_new = _dot(rhat, r)
+        if rho_new == 0:
+            return x, -10
+        if it > 0:
+            beta = rho_new / rho
+            u = _axpy(r, beta, q)
+            p = _axpy(u, beta, _axpy(q, beta, p))
+        else:
+            u = p = r
+        rho = rho_new
+
+        phat = precond(p) if precond else p
+        v = amatvec(phat)
+        denom = _dot(rhat, v)
+        if denom == 0:
+            return x, -11
+        alpha = rho / denom
+        q = _axpy(u, -alpha, v)
+
+        uq = tuple(a + c for a, c in zip(u, q))
+        uqhat = precond(uq) if precond else uq
+        x = _axpy(x, alpha, uqhat)
+        r = _axpy(r, -alpha, amatvec(uqhat))
+
+        var.l2 = _norm_tup(r)
+        callback()
+        if var.l2 < atol:
+            return x, 0
 
     return x, var.ssl_maxit
 

@@ -197,8 +197,8 @@ def test_mgparameters_validation():
 
 
 @pytest.mark.parametrize("sslsolver", ["cgs", "gcrotmk"])
-def test_scipy_krylov_variants(sslsolver):
-    """cgs/gcrotmk run through the scipy fallback (solver.py krylov)."""
+def test_krylov_variants(sslsolver):
+    """cgs (native device CGS) and gcrotmk (scipy fallback) converge."""
     import numpy as np
     from emg3d_tpu import fields, meshes, models, solver
     grid = meshes.TensorMesh([np.ones(16) * 50.0] * 3, origin=[-400.0] * 3)
@@ -211,6 +211,73 @@ def test_scipy_krylov_variants(sslsolver):
     assert info['exit_message'] == 'CONVERGED'
     assert info['it_ssl'] >= 1
     assert np.all(np.isfinite(efield.field))
+
+
+@pytest.mark.slow
+def test_whole_cycle_jit_parity(monkeypatch):
+    """EMG3D_TPU_CYCLE_JIT=1 (one fused executable per cycle) matches
+    the per-op dispatch path in both drivers: plain multigrid and the
+    MG-preconditioned BiCGSTAB (whole-cycle preconditioner)."""
+    _, model, sfield = fullspace_setup(8)
+
+    def run(**kw):
+        e, info = solver.solve(model, sfield, verb=-1, tol=1e-6,
+                               return_info=True, **kw)
+        return np.asarray(e.field), info
+
+    f_mg, _ = run(plain=True)
+    f_kr, _ = run(semicoarsening=False, linerelaxation=False)
+
+    monkeypatch.setattr(solver, '_CYCLE_JIT', '1')
+    f_mg2, i_mg2 = run(plain=True)
+    f_kr2, i_kr2 = run(semicoarsening=False, linerelaxation=False)
+
+    assert i_mg2['exit_message'] == 'CONVERGED'
+    assert i_kr2['exit_message'] == 'CONVERGED'
+    for a, b in ((f_mg, f_mg2), (f_kr, f_kr2)):
+        # XLA reassociates float ops across the fused boundaries, so
+        # agreement is to solver tolerance, not bit-for-bit.
+        assert np.linalg.norm(a - b) <= 1e-5 * np.linalg.norm(a)
+
+
+def test_multigrid_stagnated(monkeypatch):
+    """A cycle that makes no progress terminates with STAGNATED."""
+    import jax.numpy as jnp
+    _, model, sfield = fullspace_setup(8)
+
+    def no_progress(meta, arrays, r, var, first):
+        return tuple(jnp.zeros_like(c) for c in r)
+
+    monkeypatch.setattr(solver, '_cycle_correction', no_progress)
+    efield, info = solver.solve(model, sfield, plain=True, verb=-1,
+                                return_info=True)
+    assert info['exit_message'] == 'STAGNATED'
+    assert np.all(efield.field == 0.0)
+
+
+@pytest.mark.slow
+def test_krylov_precond_abort(monkeypatch):
+    """A diverging MG preconditioner aborts the outer Krylov solver
+    (reference solver.py:710-728 via _ConvergenceError) and returns a
+    zero field with a DIVERGED message."""
+    import jax.numpy as jnp
+    _, model, sfield = fullspace_setup(8)
+
+    real = solver._cycle_correction
+    calls = {'n': 0}
+
+    def blow_up(meta, arrays, r, var, first):
+        calls['n'] += 1
+        de = real(meta, arrays, r, var, first)
+        return tuple(1000.0 ** calls['n'] * c for c in de)
+
+    monkeypatch.setattr(solver, '_cycle_correction', blow_up)
+    efield, info = solver.solve(
+        model, sfield, sslsolver=True, semicoarsening=True,
+        linerelaxation=False, verb=-1, return_info=True)
+    assert 'DIVERGED' in info['exit_message']
+    assert 'zero' in info['exit_message']
+    assert np.all(efield.field == 0.0)
 
 
 def test_invalid_sslsolver():

@@ -13,6 +13,8 @@ Environment knobs:
   SALT_SOURCES    number of x-dipole sources (default 8)
   SALT_TINY=1     4-source 32-cell smoke configuration (CPU-runnable)
   SALT_BATCH=1    use the device-mesh batched Simulation mode
+  SALT_PLAIN=1    plain F-cycles instead of the production config
+                  (CPU-affordable: skips the line-smoother compiles)
 
 Run from the repository root:  python tools/salt_bench.py
 """
@@ -103,10 +105,13 @@ def main():
     kw = {}
     if os.environ.get("SALT_BATCH"):
         kw["parallel"] = "batch"
+    sopts = {"tol": 1e-6}
+    if os.environ.get("SALT_PLAIN"):
+        sopts["plain"] = True
     sim = emg3d.Simulation(
         survey=survey, model=model, gridding="same", verb=-1,
         receiver_interpolation="linear",
-        solver_opts={"tol": 1e-6}, **kw)
+        solver_opts=sopts, **kw)
 
     t0 = time.perf_counter()
     sim.compute(observed=True)
