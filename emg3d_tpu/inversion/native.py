@@ -55,29 +55,44 @@ class InversionResult:
                 f"success={self.success})")
 
 
+# Parameterized properties per anisotropy case, in the slot order of
+# Simulation.gradient's leading axis (simulations.py gradient/jtvec).
+_CASE_PROPS = {
+    'isotropic': ('property_x',),
+    'HTI': ('property_x', 'property_y'),
+    'VTI': ('property_x', 'property_z'),
+    'triaxial': ('property_x', 'property_y', 'property_z'),
+}
+
+
 def _make_objective(sim):
     """(fun, set_model, m0) for ``sim`` in the parameter-vector space.
 
-    Parameter-vector convention: Fortran-order flattening throughout
-    (matching Model's flat-input convention, models.py) — m0, the
-    gradient, and set_model's reshape must all agree or the gradient
-    the optimizer sees is permuted relative to its parameter vector.
+    Parameter-vector convention: one Fortran-order flattened block per
+    parameterized property (isotropic: 1 block; HTI/VTI: 2; triaxial:
+    3), concatenated in the gradient's slot order — m0, the gradient,
+    and set_model's reshape must all agree or the gradient the
+    optimizer sees is permuted relative to its parameter vector.
     ``fun(m) -> (misfit, grad)`` runs a forward + adjoint pass.
     """
-    if sim.model.case != 'isotropic':
-        raise NotImplementedError(
-            "native inversion currently supports isotropic models; "
-            f"got '{sim.model.case}'.")
-
     grid = sim.model.grid
     mapping = sim.model.map.name
     shape = sim.model.shape
-    m0 = np.asarray(sim.model.property_x, dtype=np.float64).ravel(order='F')
+    props = _CASE_PROPS[sim.model.case]
+    nblock = int(np.prod(shape))
+
+    m0 = np.concatenate([
+        np.asarray(getattr(sim.model, p), dtype=np.float64).ravel(order='F')
+        for p in props])
+
+    def blocks(m):
+        m = np.asarray(m, dtype=np.float64)
+        return {p: m[i * nblock:(i + 1) * nblock]
+                .reshape(shape, order='F').copy()
+                for i, p in enumerate(props)}
 
     def set_model(m):
-        sim.model = models.Model(
-            grid, property_x=np.asarray(m).reshape(shape, order='F').copy(),
-            mapping=mapping)
+        sim.model = models.Model(grid, mapping=mapping, **blocks(m))
         # 'computed' resets the synthetic data, misfit and gradient so
         # the next access recomputes with the new model ('keepresults'
         # would keep them — reference clean semantics).
@@ -86,7 +101,11 @@ def _make_objective(sim):
     def fun(m):
         set_model(m)
         phi_d = float(sim.misfit)
-        grad = np.asarray(sim.gradient, dtype=np.float64).ravel(order='F')
+        g = np.asarray(sim.gradient, dtype=np.float64)
+        if g.ndim == 3:                    # isotropic: (nx, ny, nz)
+            g = g[None]
+        grad = np.concatenate([g[i].ravel(order='F')
+                               for i in range(len(props))])
         return phi_d, grad
 
     return fun, set_model, m0
@@ -100,10 +119,11 @@ def minimize(simulation, maxiter=10, method='L-BFGS-B', bounds=None,
     Parameters
     ----------
     simulation : Simulation
-        Forward simulation with observed data.  Its model must be
-        isotropic; its mapping defines the inversion parameterization
-        (log mappings recommended).  The simulation is used in place:
-        on return its model is the inverted one.
+        Forward simulation with observed data.  All four anisotropy
+        cases invert (the parameter vector holds one block per
+        parameterized property); the mapping defines the inversion
+        parameterization (log mappings recommended).  The simulation is
+        used in place: on return its model is the inverted one.
     maxiter : int
         Maximum optimizer iterations.
     method : str

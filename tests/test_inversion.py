@@ -117,17 +117,56 @@ def test_objective_gradient_ordering():
     assert abs(fd - grad @ d) < 0.02 * abs(fd)
 
 
-def test_requires_isotropic():
-    grid = emg3d.TensorMesh([np.full(8, 100.0)] * 3, origin=(-400,) * 3)
-    model = emg3d.Model(grid, property_x=1.0, property_z=2.0)
+@pytest.mark.slow
+def test_vti_objective_gradient():
+    """VTI: the parameter vector holds two blocks (x then z); the FD
+    directional derivative pins both the block order and the F-order
+    flattening within each block."""
+    rng = np.random.default_rng(7)
+    grid = emg3d.TensorMesh(
+        [np.full(12, 200.0), np.full(8, 300.0), np.full(10, 250.0)],
+        origin=(-1200.0, -1200.0, -1250.0))
+    sopts = {'plain': True, 'tol': 5e-7, 'verb': 0}
+
+    lg_true = np.zeros(grid.shape_cells)
+    lg_true[2:6, 1:4, 4:8] = -0.6
     survey = emg3d.Survey(
-        sources=emg3d.electrodes.TxElectricPoint((0, 0, 0, 0, 0)),
-        receivers=emg3d.electrodes.RxElectricPoint((200, 0, 0, 0, 0)),
-        frequencies=1.0, relative_error=0.05)
-    sim = emg3d.Simulation(survey=survey, model=model, gridding='same',
-                           verb=-1)
-    with pytest.raises(NotImplementedError, match='isotropic'):
-        native.minimize(sim)
+        sources=emg3d.electrodes.TxElectricPoint((-300, 0, 800, 0, 0)),
+        receivers=[emg3d.electrodes.RxElectricPoint((x, y, -800, 0, 0))
+                   for x in (-500.0, 400.0) for y in (-300.0, 300.0)],
+        frequencies=1.0, noise_floor=1e-17, relative_error=0.01)
+    sim_true = emg3d.Simulation(
+        survey=survey, gridding='same', verb=-1,
+        receiver_interpolation='linear', solver_opts=sopts,
+        model=emg3d.Model(grid, lg_true, property_z=lg_true + 0.2,
+                          mapping='LgResistivity'))
+    sim_true.compute(observed=True)
+
+    lg0x = 0.1 * rng.standard_normal(grid.shape_cells)
+    lg0z = 0.1 * rng.standard_normal(grid.shape_cells)
+    sim = emg3d.Simulation(
+        survey=survey, gridding='same', verb=-1,
+        receiver_interpolation='linear', solver_opts=sopts,
+        model=emg3d.Model(grid, lg0x, property_z=lg0z,
+                          mapping='LgResistivity'))
+
+    fun, set_model, m0 = native._make_objective(sim)
+    assert m0.size == 2 * grid.n_cells
+    np.testing.assert_allclose(m0[:grid.n_cells], lg0x.ravel(order='F'))
+    np.testing.assert_allclose(m0[grid.n_cells:], lg0z.ravel(order='F'))
+
+    phi0, grad = fun(m0)
+    assert phi0 > 0 and np.linalg.norm(grad) > 0
+    d = rng.standard_normal(m0.size)
+    d /= np.linalg.norm(d)
+    eps = 1e-3
+
+    def misfit_only(m):
+        set_model(m)
+        return float(sim.misfit)
+
+    fd = (misfit_only(m0 + eps * d) - misfit_only(m0 - eps * d)) / (2 * eps)
+    assert abs(fd - grad @ d) < 0.02 * abs(fd)
 
 
 def test_result_repr():
