@@ -974,19 +974,15 @@ def _terminate(var, l2_last, l2_stag, it):
 def krylov(model, sfield, efield, var):
     """MG-preconditioned Krylov solver (reference solver.py:652-784).
 
-    'bicgstab' and 'cgs' run natively with device-side vectors;
-    'gcrotmk' falls back to scipy.sparse.linalg with device matvecs.
+    All three variants — 'bicgstab', 'cgs', 'gcrotmk' — run natively
+    with device-side vectors; only O(1) scalars (inner products, small
+    least-squares systems) touch the host.
     """
     hier = _Hierarchies(model, var)
 
     mdev = _vmodel_to_dev(model)
     if var.placement is not None:
         mdev = var.placement.place_level(mdev, var.shape_cells)
-    grid = model.grid
-    shape_x = grid.shape_edges_x
-    shape_y = grid.shape_edges_y
-    shape_z = grid.shape_edges_z
-    nx_e, ny_e = int(np.prod(shape_x)), int(np.prod(shape_y))
 
     @jax.jit
     def amatvec_dev(e):
@@ -1089,58 +1085,15 @@ def krylov(model, sfield, efield, var):
         s = var.placement.place_field(s, var.shape_cells)
         e = var.placement.place_field(e, var.shape_cells)
 
-    if var.sslsolver in ('bicgstab', 'cgs'):
-        native = _bicgstab if var.sslsolver == 'bicgstab' else _cgs
-        try:
-            e, i = native(amatvec_dev, mg_precond_dev if var.cycle
-                          else None, s, e, var, callback)
-        except _ConvergenceError:
-            i = -1
-            e = tuple(jnp.zeros_like(c) for c in s)
-            var.exit_message += " (returned field is zero)"
-    else:
-        # scipy fallback for 'gcrotmk' (recycled-subspace method with
-        # host-side orthogonalization state; vectors round-trip per
-        # matvec — acceptable for this rarely-used variant).
-        dtype = sfield.field.dtype
-
-        def to_vec(t):
-            return np.concatenate([
-                np.asarray(t[0]).ravel(), np.asarray(t[1]).ravel(),
-                np.asarray(t[2]).ravel()]).astype(dtype)
-
-        def to_tup(v):
-            return (jnp.asarray(v[:nx_e].reshape(shape_x)),
-                    jnp.asarray(v[nx_e:nx_e + ny_e].reshape(shape_y)),
-                    jnp.asarray(v[nx_e + ny_e:].reshape(shape_z)))
-
-        def matvec(v):
-            return to_vec(amatvec_dev(to_tup(v.astype(dtype))))
-
-        def psolve(v):
-            return to_vec(mg_precond_dev(to_tup(v.astype(dtype))))
-
-        n = sfield.field.size
-
-        def cb(x):
-            var.l2 = float(np.linalg.norm(matvec(x) - to_vec(s)))
-            callback()
-
-        A = sp.sparse.linalg.LinearOperator((n, n), dtype=dtype,
-                                            matvec=matvec)
-        M = None
-        if var.cycle:
-            M = sp.sparse.linalg.LinearOperator((n, n), dtype=dtype,
-                                                matvec=psolve)
-        try:
-            x, i = getattr(sp.sparse.linalg, var.sslsolver)(
-                A=A, b=to_vec(s), x0=to_vec(e), rtol=var.tol,
-                maxiter=var.ssl_maxit, atol=1e-30, M=M, callback=cb)
-            e = to_tup(x)
-        except _ConvergenceError:
-            i = -1
-            e = tuple(jnp.zeros_like(c) for c in s)
-            var.exit_message += " (returned field is zero)"
+    native = {'bicgstab': _bicgstab, 'cgs': _cgs,
+              'gcrotmk': _gcrotmk}[var.sslsolver]
+    try:
+        e, i = native(amatvec_dev, mg_precond_dev if var.cycle
+                      else None, s, e, var, callback)
+    except _ConvergenceError:
+        i = -1
+        e = tuple(jnp.zeros_like(c) for c in s)
+        var.exit_message += " (returned field is zero)"
 
     if i < 0:
         if var.exit_message == '':
@@ -1279,6 +1232,105 @@ def _cgs(amatvec, precond, b, x0, var, callback):
         uqhat = precond(uq) if precond else uq
         x = _axpy(x, alpha, uqhat)
         r = _axpy(r, -alpha, amatvec(uqhat))
+
+        var.l2 = _norm_tup(r)
+        callback()
+        if var.l2 < atol:
+            return x, 0
+
+    return x, var.ssl_maxit
+
+
+def _gcrotmk(amatvec, precond, b, x0, var, callback, m=20, k=None):
+    """Preconditioned GCROT(m,k) with device-side vectors.
+
+    Recycled-subspace Krylov method (Hicken & Zingg's GCROT(m,k) with
+    oldest-out truncation); fills the role of
+    scipy.sparse.linalg.gcrotmk in the reference (solver.py:759-765).
+    Each outer iteration runs a flexible GMRES(m) inner loop deflated
+    against the recycle space C (A·U = C, Cᴴ C = I), forms one new
+    (c, u) pair from the inner solution, applies the 1-D projection to
+    x and r, and truncates the space to ``k`` pairs.  The large vectors
+    (Krylov basis, recycle pairs) stay on the device; only the Arnoldi
+    scalars and the (≤ m+1) × m least-squares problem live on the host.
+    Returns (x, info) with the scipy info convention.
+    """
+    k = k or m
+    bnrm = _norm_tup(b)
+    if bnrm == 0.0:
+        return b, 0
+    atol = max(1e-30, var.tol * bnrm)
+
+    x = x0
+    r = tuple(bb - aa for bb, aa in zip(b, amatvec(x)))
+    CU = []                          # recycle pairs (c, u), A u = c
+
+    for outer in range(var.ssl_maxit):
+        beta = _norm_tup(r)
+        if beta < atol:
+            var.l2 = beta
+            return x, 0
+
+        # Flexible GMRES(m) on r, deflated against span(C).
+        V = [tuple(c / beta for c in r)]
+        Z = []                                    # preconditioned basis
+        H = np.zeros((m + 1, m), dtype=np.complex128)
+        B = np.zeros((max(len(CU), 1), m), dtype=np.complex128)
+        y = None
+        j_used = 0
+        for j in range(m):
+            z = precond(V[j]) if precond else V[j]
+            w = amatvec(z)
+            Z.append(z)
+            for i, (c, _) in enumerate(CU):       # deflate
+                B[i, j] = _dot(c, w)
+                w = _axpy(w, -B[i, j], c)
+            for i in range(j + 1):                # Arnoldi (MGS)
+                H[i, j] = _dot(V[i], w)
+                w = _axpy(w, -H[i, j], V[i])
+            H[j + 1, j] = _norm_tup(w)
+            j_used = j + 1
+            if H[j + 1, j] >= 1e-14 * beta:
+                V.append(tuple(c / H[j + 1, j] for c in w))
+
+            # Inner least squares + early exit at tolerance.
+            e1 = np.zeros(j_used + 1, dtype=np.complex128)
+            e1[0] = beta
+            y, *_ = np.linalg.lstsq(
+                H[:j_used + 1, :j_used], e1, rcond=None)
+            inner_res = np.linalg.norm(
+                e1 - H[:j_used + 1, :j_used] @ y)
+            if H[j + 1, j] < 1e-14 * beta or inner_res < atol:
+                break
+
+        # New recycle pair from the inner solution:
+        #   u~ = Z y − U (B y)   (so that A u~ = V H̄ y ⊥ C),
+        #   c~ = V (H̄ y).
+        ut = tuple(jnp.zeros_like(c) for c in b)
+        for j in range(j_used):
+            ut = _axpy(ut, y[j], Z[j])
+        if CU:
+            By = B[:len(CU), :j_used] @ y
+            for i, (_, u) in enumerate(CU):
+                ut = _axpy(ut, -By[i], u)
+        Hy = H[:j_used + 1, :j_used] @ y
+        ct = tuple(jnp.zeros_like(c) for c in b)
+        for i in range(min(j_used + 1, len(V))):
+            ct = _axpy(ct, Hy[i], V[i])
+
+        cnrm = _norm_tup(ct)
+        if cnrm == 0.0:
+            return x, -11
+        c_new = tuple(c / cnrm for c in ct)
+        u_new = tuple(c / cnrm for c in ut)
+
+        alpha = _dot(c_new, r)
+        x = _axpy(x, alpha, u_new)
+        r = _axpy(r, -alpha, c_new)
+
+        CU.append((c_new, u_new))
+        if len(CU) > k:
+            CU.pop(0)
 
         var.l2 = _norm_tup(r)
         callback()

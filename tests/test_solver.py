@@ -198,7 +198,7 @@ def test_mgparameters_validation():
 
 @pytest.mark.parametrize("sslsolver", ["cgs", "gcrotmk"])
 def test_krylov_variants(sslsolver):
-    """cgs (native device CGS) and gcrotmk (scipy fallback) converge."""
+    """The native device-side cgs and gcrotmk variants converge."""
     import numpy as np
     from emg3d_tpu import fields, meshes, models, solver
     grid = meshes.TensorMesh([np.ones(16) * 50.0] * 3, origin=[-400.0] * 3)
