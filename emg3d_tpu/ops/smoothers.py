@@ -40,9 +40,18 @@ the reference's three hand-written kernels (core.py:506-1348).
 """
 
 import itertools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# Point-smoother phase implementation (read at trace time):
+#   'xla'              — jax.numpy phase kernels (default)
+#   'pallas'           — Mosaic-compiled whole-phase kernel (TPU; v1:
+#                        all arrays VMEM-resident — coarse/mid levels)
+#   'pallas-interpret' — the same kernel in interpret mode (any
+#                        backend; validation only, slow)
+_SMOOTHER_IMPL = os.environ.get("EMG3D_TPU_SMOOTHER", "xla")
 
 __all__ = ["gauss_seidel", "gauss_seidel_sweep", "gauss_seidel_phase",
            "gauss_seidel_line", "gauss_seidel_line_sweep",
@@ -284,8 +293,24 @@ def gauss_seidel_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
                        hx, hy, hz, px, py, pz):
     """Relax the interior nodes of one (x, y, z)-parity class.
 
-    Assembles and solves the 6x6 node systems (reference
-    core.py:392-492) for the stride-2 node subgrid with
+    Dispatches on ``EMG3D_TPU_SMOOTHER`` (trace time): the jax.numpy
+    kernel below, or the whole-phase Pallas kernel (ops.pallas_gs).
+    """
+    if _SMOOTHER_IMPL != "xla":
+        from emg3d_tpu.ops import pallas_gs
+        return pallas_gs.gauss_seidel_phase_pallas(
+            ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+            hx, hy, hz, px, py, pz,
+            interpret=_SMOOTHER_IMPL == "pallas-interpret")
+    return _gauss_seidel_phase_xla(
+        ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+        hx, hy, hz, px, py, pz)
+
+
+def _gauss_seidel_phase_xla(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
+                            zeta, hx, hy, hz, px, py, pz):
+    """jax.numpy phase kernel: assemble and solve the 6x6 node systems
+    (reference core.py:392-492) for the stride-2 node subgrid with
     (ix-1, iy-1, iz-1) ≡ (px, py, pz) mod 2.  All coefficients are
     computed directly on the phase block (composed strided slices of
     the inputs), so a phase's XLA graph carries ~1/8 of a sweep's work.

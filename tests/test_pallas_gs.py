@@ -62,6 +62,22 @@ def test_pallas_interpret_equals_complex():
                                    rtol=1e-12)
 
 
+def test_smoother_dispatch_env(monkeypatch):
+    """EMG3D_TPU_SMOOTHER='pallas-interpret' routes
+    smoothers.gauss_seidel_phase through the Pallas kernel (same
+    numbers as the xla path)."""
+    e, s, eta, zeta, hx, hy, hz = _random_problem(seed=3, nx=6, ny=6,
+                                                  nz=6)
+    ref = smoothers.gauss_seidel_phase(*e, *s, *eta, zeta, hx, hy, hz,
+                                       0, 0, 0)
+    monkeypatch.setattr(smoothers, "_SMOOTHER_IMPL", "pallas-interpret")
+    out = smoothers.gauss_seidel_phase(*e, *s, *eta, zeta, hx, hy, hz,
+                                       0, 0, 0)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12)
+
+
 def test_full_sweep_through_split_phases():
     """A full 8-color sweep composed of split phases == complex sweep."""
     e, s, eta, zeta, hx, hy, hz = _random_problem(seed=11)

@@ -98,6 +98,24 @@ def main():
                 e, e, s, arrs)[1], n=5)
             emit(metric="df64_residual_s", size=n, value=t,
                  cells_per_s=round(n ** 3 / t))
+
+            # Mosaic-compiled whole-phase Pallas kernel vs the XLA
+            # phase (VMEM-resident v1 — expect failures above the
+            # VMEM-feasible size; that failure bound is itself the
+            # profile result that sizes the tiled variant).
+            try:
+                from emg3d_tpu.ops import pallas_gs
+                P = (arrs["eta_x"], arrs["eta_y"], arrs["eta_z"],
+                     arrs["zeta"], arrs["hx"], arrs["hy"], arrs["hz"])
+                pal = jax.jit(lambda e_, s_: pallas_gs.
+                              gauss_seidel_phase_pallas(
+                                  *e_, *s_, *P, 0, 0, 0))
+                t = timed(pal, e, s, n=5)
+                emit(metric="gs_phase_pallas_s", size=n, value=t,
+                     cells_per_s=round(n ** 3 / 8 / t))
+            except Exception as exc:
+                emit(metric="gs_phase_pallas_error", size=n,
+                     error=str(exc)[:200])
         except Exception as exc:
             emit(metric="kernel_block_error", size=n,
                  error=str(exc)[:200])
