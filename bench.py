@@ -73,6 +73,10 @@ def main():
             os.environ["EMG3D_BENCH_CPU"] = "1"
             os.execv(sys.executable, [sys.executable] + sys.argv)
 
+    # Persistent compilation cache (off-CPU only — see backend): a
+    # re-benched process skips the cold hierarchy compiles.
+    backend.enable_compilation_cache()
+
     model, sfield = make_problem(N)
 
     # Warm-up: compile all level kernels (cached for the timed run).

@@ -63,7 +63,7 @@ import numpy as np
 
 __all__ = [
     "is_transient", "probe", "wait_healthy", "retry_transient",
-    "reexec_if_born_bad", "HealthError",
+    "reexec_if_born_bad", "enable_compilation_cache", "HealthError",
 ]
 
 # Set to True by the first successful probe: distinguishes a service
@@ -242,6 +242,26 @@ def reexec_if_born_bad(argv=None, sleep=None):
     os.environ["EMG3D_TPU_REEXEC_N"] = str(n + 1)
     argv = list(sys.argv if argv is None else argv)
     os.execv(sys.executable, [sys.executable] + argv)
+
+
+def enable_compilation_cache(path="/tmp/emg3d_tpu_xla_cache"):
+    """Persistent XLA compilation cache — enabled off-CPU only.
+
+    Cold compiles dominate first-solve latency (e.g. ~3 min for a 64³
+    hierarchy); the persistent cache removes them from the second
+    process onward.  XLA:CPU (jax 0.9) segfaults intermittently while
+    (de)serializing executables (observed on this host in both the put
+    and the get path), so the cache stays off when the default backend
+    is the CPU.  Returns whether the cache was enabled; safe to call
+    repeatedly.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return False
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return True
 
 
 def retry_transient(thunk, what="device step", rebuild=None):

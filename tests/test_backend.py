@@ -148,3 +148,13 @@ def test_retry_transient_budget(monkeypatch):
     with pytest.warns(RuntimeWarning):
         with pytest.raises(RuntimeError, match="UNAVAILABLE"):
             backend.retry_transient(thunk, "test")
+
+
+def test_compilation_cache_stays_off_on_cpu():
+    """The persistent cache must NOT be enabled on XLA:CPU (segfaults
+    while (de)serializing executables — see backend docstring)."""
+    import jax
+    from emg3d_tpu import backend
+    assert jax.default_backend() == 'cpu'
+    assert backend.enable_compilation_cache() is False
+    assert jax.config.jax_compilation_cache_dir is None

@@ -84,6 +84,8 @@ def main():
 
     import emg3d_tpu as emg3d
 
+    backend.enable_compilation_cache()
+
     n = int(os.environ.get("SALT_N", "32" if tiny else "128"))
     nsrc = int(os.environ.get("SALT_SOURCES", "4" if tiny else "8"))
     freq = 1.0

@@ -54,6 +54,7 @@ def main():
     from emg3d_tpu import backend
 
     backend.reexec_if_born_bad()
+    backend.enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
