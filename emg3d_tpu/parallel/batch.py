@@ -34,13 +34,37 @@ def make_task_mesh(n_devices=None, axis="task"):
 
 
 def _axes_of(arrs):
-    """vmap in_axes for a level's array dict: eta_* batched, rest shared."""
-    return {k: (0 if k.startswith("eta_") else None) for k in arrs}
+    """vmap in_axes for a level's array dict.
+
+    Two hierarchy layouts exist (see _build_hierarchy_batched):
+    stacked eta (4-D, batched over tasks) or shared eta (3-D, one copy)
+    with a per-task ``eta_scale`` scalar.
+    """
+    return {k: (0 if k == "eta_scale" or (k.startswith("eta_")
+                                          and arrs[k].ndim == 4)
+                else None) for k in arrs}
+
+
+def _scaled(arrs):
+    """Materialize a task's eta from the shared copy + its scale.
+
+    Inside a vmapped per-task function ``eta_scale`` is a scalar; the
+    multiply stays inside the task's XLA program (fused into the
+    stencil consumers), so the B-fold eta storage never exists in HBM.
+    """
+    if "eta_scale" not in arrs:
+        return arrs
+    out = dict(arrs)
+    scale = out.pop("eta_scale")
+    for k in ("eta_x", "eta_y", "eta_z"):
+        out[k] = scale * out[k]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("c_lr_dir", "nu"))
 def _bsmooth(e, s, arrs, c_lr_dir, nu):
-    fn = functools.partial(solver._smooth_dev, c_lr_dir=c_lr_dir, nu=nu)
+    def fn(e, s, arrs):
+        return solver._smooth_dev(e, s, _scaled(arrs), c_lr_dir, nu)
     return jax.vmap(fn, in_axes=(0, 0, _axes_of(arrs)))(e, s, arrs)
 
 
@@ -52,6 +76,7 @@ def _brestrict(e, s, arrs, coarsen):
     guess rides in the same executable.
     """
     def fn(e, s, arrs):
+        arrs = _scaled(arrs)
         res = solver._residual_dev(e, s, arrs)
         from emg3d_tpu.ops import transfer
         return transfer.restrict(*res, arrs["rw"], coarsen)
@@ -72,7 +97,8 @@ def _bresnorm(e, s, arrs):
     from emg3d_tpu.ops import operator
 
     def fn(e, s, arrs):
-        return operator.residual_norm(*solver._residual_dev(e, s, arrs))
+        return operator.residual_norm(
+            *solver._residual_dev(e, s, _scaled(arrs)))
     return jax.vmap(fn, in_axes=(0, 0, _axes_of(arrs)))(e, s, arrs)
 
 
@@ -82,6 +108,7 @@ def _bresidual_norm_split(e_hi, e_lo, s, arrs):
     from emg3d_tpu.ops import operator
 
     def fn(eh, el, s_, a):
+        a = _scaled(a)
         if eh[0].dtype in (jnp.complex64, jnp.float32):
             from emg3d_tpu.ops import df64
             return df64.residual_norm_split_df64(eh, el, s_, a)
@@ -112,11 +139,12 @@ class _BatchHierarchies:
     use and reused for the rest of the solve.
     """
 
-    def __init__(self, vmodels, var, mesh=None, axis="task"):
+    def __init__(self, vmodels, var, mesh=None, axis="task", scales=None):
         self.vmodels = vmodels
         self.var = var
         self.mesh = mesh
         self.axis = axis
+        self.scales = scales
         self._cache = {}
 
     def get(self, sc_dir, lr_dir):
@@ -125,7 +153,7 @@ class _BatchHierarchies:
             clevel_max = self.var.clevel[min(sc_dir, 3)]
             self._cache[key] = _build_hierarchy_batched(
                 self.vmodels, sc_dir, lr_dir, clevel_max,
-                mesh=self.mesh, axis=self.axis)
+                mesh=self.mesh, axis=self.axis, scales=self.scales)
         return self._cache[key]
 
 
@@ -202,6 +230,7 @@ def _bcg_advance(shat, phat, svec, x, alpha, active, arrs):
 def _bamat(e, arrs):
     """Batched operator application (B tasks at once)."""
     def fn(e, a):
+        a = _scaled(a)
         return solver.operator.amat_x(
             *e, a["eta_x"], a["eta_y"], a["eta_z"], a["zeta"],
             a["hx"], a["hy"], a["hz"])
@@ -279,8 +308,36 @@ def _bicgstab_batch(s, var, bhier, verb=0):
 
 
 def _build_hierarchy_batched(vmodels, sc_dir, lr_dir, clevel_max, mesh=None,
-                             axis="task"):
-    """Stack per-task hierarchies (eta batched; zeta/h/weights shared)."""
+                             axis="task", scales=None):
+    """Batched hierarchy in one of two layouts.
+
+    With ``scales`` (the shared-eta fast path): ONE hierarchy is built
+    (eta stored once per level, replicated) plus a per-task complex
+    ``eta_scale`` vector sharded over the mesh — task k's eta is
+    exactly ``scales[k] * eta`` (eta is linear in s when epsilon_r is
+    absent, and model restriction is linear), so HBM holds O(cells)
+    instead of O(B * cells) model data.
+
+    Without ``scales``: per-task hierarchies are built and eta is
+    stacked on a leading task axis (general case, e.g. epsilon_r).
+    """
+    spec_b = None
+    if mesh is not None:
+        spec_b = NamedSharding(mesh, PartitionSpec(axis))
+
+    if scales is not None:
+        meta, arrays = solver._build_hierarchy(
+            vmodels[0], sc_dir, lr_dir, clevel_max)
+        levels = []
+        for lvl_arrs in arrays:
+            out = dict(lvl_arrs)
+            sc = jnp.asarray(scales).astype(out["eta_x"].dtype)
+            if spec_b is not None:
+                sc = jax.device_put(sc, spec_b)
+            out["eta_scale"] = sc
+            levels.append(out)
+        return meta, levels
+
     metas, per_task = [], []
     for vm in vmodels:
         meta, arrays = solver._build_hierarchy(vm, sc_dir, lr_dir,
@@ -289,10 +346,6 @@ def _build_hierarchy_batched(vmodels, sc_dir, lr_dir, clevel_max, mesh=None,
         per_task.append(arrays)
     if any(m != metas[0] for m in metas[1:]):
         raise ValueError("All tasks must share the same grid hierarchy.")
-
-    spec_b = None
-    if mesh is not None:
-        spec_b = NamedSharding(mesh, PartitionSpec(axis))
 
     stacked = []
     for lvl in range(len(metas[0])):
@@ -354,7 +407,17 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
     # Build per-task source fields and volume models (host, setup time).
     sfields = [fields.get_source_field(model.grid, src, freq)
                for src, freq in zip(sources, frequencies)]
-    vmodels = [models.VolumeModel(model, sf) for sf in sfields]
+
+    # Shared-eta fast path: all tasks see the SAME model, and without
+    # epsilon_r eta is linear in s — task k's eta is (s_k/s_0) times
+    # task 0's, at every hierarchy level (restriction is linear).  One
+    # eta copy + a (B,) scale vector then replaces the stacked etas.
+    if model.epsilon_r is None:
+        vmodels = [models.VolumeModel(model, sfields[0])]
+        scales = [sf.smu0 / sfields[0].smu0 for sf in sfields]
+    else:
+        vmodels = [models.VolumeModel(model, sf) for sf in sfields]
+        scales = None
 
     # Pad the batch to a multiple of the mesh size.
     ntask = nsrc
@@ -363,10 +426,14 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
         pad = (-ntask) % nd
         for _ in range(pad):
             sfields.append(sfields[-1])
-            vmodels.append(vmodels[-1])
+            if scales is None:
+                vmodels.append(vmodels[-1])
+            else:
+                scales.append(scales[-1])
         ntask += pad
 
-    bhier = _BatchHierarchies(vmodels, var, mesh=mesh, axis=axis)
+    bhier = _BatchHierarchies(vmodels, var, mesh=mesh, axis=axis,
+                              scales=scales)
 
     s = tuple(jnp.stack(c) for c in zip(
         *[solver._field_to_dev(sf) for sf in sfields]))
