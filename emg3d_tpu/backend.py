@@ -190,12 +190,6 @@ def reexec_if_born_bad(argv=None, sleep=None):
     n = int(os.environ.get("EMG3D_TPU_REEXEC_N", "0"))
     limit = int(os.environ.get("EMG3D_TPU_REEXEC", "40"))
     budget_s = os.environ.get("EMG3D_TPU_REEXEC_BUDGET_S")
-    t0 = float(os.environ.setdefault("EMG3D_TPU_REEXEC_T0",
-                                     str(time.time())))
-    if budget_s is not None and time.time() - t0 > float(budget_s):
-        raise HealthError(
-            f"rebirth loop exceeded its wall-clock budget "
-            f"({budget_s}s) after {n} re-executions")
 
     # Probe in a CHILD process with a hard timeout: a bad channel can
     # HANG device RPCs indefinitely (not just fail them), and a hung
@@ -221,7 +215,22 @@ def reexec_if_born_bad(argv=None, sleep=None):
             return False
 
     if _probe_child() and probe():
+        # Healthy: clear the rebirth bookkeeping so this process's
+        # children (and any much-later call here) don't inherit a stale
+        # start time — a stale T0 plus a budget would otherwise raise
+        # HealthError immediately instead of attempting a rebirth.
+        os.environ.pop("EMG3D_TPU_REEXEC_T0", None)
+        os.environ.pop("EMG3D_TPU_REEXEC_N", None)
         return n
+
+    # Unhealthy: the rebirth loop's wall-clock starts at the FIRST bad
+    # probe (stamped here, inherited across the re-executions).
+    t0 = float(os.environ.setdefault("EMG3D_TPU_REEXEC_T0",
+                                     str(time.time())))
+    if budget_s is not None and time.time() - t0 > float(budget_s):
+        raise HealthError(
+            f"rebirth loop exceeded its wall-clock budget "
+            f"({budget_s}s) after {n} re-executions")
     if n >= limit:
         raise HealthError(
             f"process born with an unhealthy backend channel {n} times "

@@ -24,7 +24,8 @@ emg3d/core.py:57-206).
 
 import jax.numpy as jnp
 
-__all__ = ["residual_norm_split_df64", "split_f64"]
+__all__ = ["residual_norm_split_df64", "split_f64", "scale_split",
+           "jit_exact"]
 
 
 def split_f64(a, float_dtype):
@@ -45,6 +46,28 @@ def _split_const(dtype):
     if dtype == jnp.float32:
         return 4097.0
     return 134217729.0
+
+
+def jit_exact(fun, **jit_kw):
+    """``jax.jit`` for programs whose value depends on exact fp order.
+
+    XLA:CPU's MLIR *fusion emitters* (default since jax 0.9) generate
+    value-unsafe code inside fused loops — measured here: a jit of the
+    split residual returned per-element values off by a full ulp of
+    ``|A||e|`` vs its own eager execution, silently demoting the df64
+    evaluation to ~f32 accuracy.  The legacy emitters are value-exact
+    (validated: eager == jit bit-for-bit with
+    ``--xla_cpu_use_fusion_emitters=false``), so executables built
+    through this wrapper disable them via per-executable compiler
+    options.  This costs ~4.5x on the affected executable on CPU, but
+    only the once-per-cycle residual/accumulate programs need it —
+    smoothing (the runtime bulk) has no EFT arithmetic.  On non-CPU
+    backends the option is an inert DebugOptions field.
+    """
+    import jax
+
+    return jax.jit(fun, compiler_options={
+        "xla_cpu_use_fusion_emitters": False}, **jit_kw)
 
 
 def _two_sum(a, b):
@@ -71,6 +94,26 @@ def _two_prod(a, b):
     bl = b - bh
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
     return p, err
+
+
+def scale_split(hi, lo, sc_hi, sc_lo):
+    """Scale a split pair by a split scalar: (hi, lo) * (sc_hi, sc_lo).
+
+    Returns a renormalized (hi2, lo2) pair representing the full-
+    precision product to ~2x working mantissa — used by the batched
+    shared-eta hierarchy (parallel.batch._scaled) so a scaled task's
+    coefficients keep df64 accuracy for the split residual.  Handles
+    complex values by df-multiplying the real/imaginary parts.
+    """
+    if jnp.iscomplexobj(hi):
+        xr = (jnp.real(hi), jnp.real(lo))
+        xi = (jnp.imag(hi), jnp.imag(lo))
+        cr = (jnp.real(sc_hi), jnp.real(sc_lo))
+        ci = (jnp.imag(sc_hi), jnp.imag(sc_lo))
+        yr = _df_sub(_df_mul(xr, cr), _df_mul(xi, ci))
+        yi = _df_add(_df_mul(xr, ci), _df_mul(xi, cr))
+        return yr[0] + 1j * yi[0], yr[1] + 1j * yi[1]
+    return _df_mul((hi, lo), (sc_hi, sc_lo))
 
 
 # A "df" value is a tuple (hi, lo) of same-shape real arrays.
@@ -206,7 +249,21 @@ def residual_norm_split_df64(e_hi, e_lo, s, arrs):
     lo-parts ('eta_x_lo', ..., 'zeta_lo', 'ihx', 'ihx_lo', ...) built by
     solver._build_hierarchy.  Returns (r_tuple, l2) with r rounded back
     to working precision.
+
+    Correctness under jit is NOT automatic: XLA:CPU's fusion emitters
+    produce value-unsafe fused loops that demote this function's
+    result to ~f32 accuracy (see :func:`jit_exact`, which every
+    executable containing this function must be built with).  The
+    ``lax.optimization_barrier`` on the entry pairs and on the final
+    (hi, lo)->working-dtype collapse is defense-in-depth for backends
+    that honor barriers (XLA:CPU strips them before fusion; TPU keeps
+    them): it pins the EFT-critical pairs as fusion roots at the cost
+    of a few elementwise materializations.
     """
+    from jax import lax
+
+    e_hi = lax.optimization_barrier(tuple(e_hi))
+    e_lo = lax.optimization_barrier(tuple(e_lo))
     hx = arrs["hx"]
     nx, ny, nz = hx.size, arrs["hy"].size, arrs["hz"].size
     is_complex = jnp.iscomplexobj(e_hi[0])
@@ -271,10 +328,12 @@ def residual_norm_split_df64(e_hi, e_lo, s, arrs):
 
         a_r = _df_sub(_df_scale(cc_r, 0.5), _df_scale(sig_r, 0.25))
         r_r = _df_sub(_df(jnp.real(s_comp[blk])), a_r)
+        r_r = lax.optimization_barrier(r_r)
         r_blk = r_r[0] + r_r[1]
         if is_complex:
             a_i = _df_sub(_df_scale(cc_i, 0.5), _df_scale(sig_i, 0.25))
             r_i = _df_sub(_df(jnp.imag(s_comp[blk])), a_i)
+            r_i = lax.optimization_barrier(r_i)
             r_blk = r_blk + 1j * (r_i[0] + r_i[1])
         # Far planes: zero operator rows -> r = s there.
         return s_comp.astype(r_blk.dtype).at[blk].set(r_blk)

@@ -45,13 +45,13 @@ import os
 import jax
 import jax.numpy as jnp
 
-# Point-smoother phase implementation (read at trace time):
+# Point-smoother phase implementation, selected by EMG3D_TPU_SMOOTHER
+# (read at trace time inside gauss_seidel_phase):
 #   'xla'              — jax.numpy phase kernels (default)
 #   'pallas'           — Mosaic-compiled whole-phase kernel (TPU; v1:
 #                        all arrays VMEM-resident — coarse/mid levels)
 #   'pallas-interpret' — the same kernel in interpret mode (any
 #                        backend; validation only, slow)
-_SMOOTHER_IMPL = os.environ.get("EMG3D_TPU_SMOOTHER", "xla")
 
 __all__ = ["gauss_seidel", "gauss_seidel_sweep", "gauss_seidel_phase",
            "gauss_seidel_line", "gauss_seidel_line_sweep",
@@ -293,15 +293,17 @@ def gauss_seidel_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
                        hx, hy, hz, px, py, pz):
     """Relax the interior nodes of one (x, y, z)-parity class.
 
-    Dispatches on ``EMG3D_TPU_SMOOTHER`` (trace time): the jax.numpy
-    kernel below, or the whole-phase Pallas kernel (ops.pallas_gs).
+    Dispatches on ``EMG3D_TPU_SMOOTHER``, read at trace time: flipping
+    it after an executable is cached needs ``jax.clear_caches()`` (jit
+    caches key on arguments, not on the environment).
     """
-    if _SMOOTHER_IMPL != "xla":
+    impl = os.environ.get("EMG3D_TPU_SMOOTHER", "xla")
+    if impl != "xla":
         from emg3d_tpu.ops import pallas_gs
         return pallas_gs.gauss_seidel_phase_pallas(
             ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
             hx, hy, hz, px, py, pz,
-            interpret=_SMOOTHER_IMPL == "pallas-interpret")
+            interpret=impl == "pallas-interpret")
     return _gauss_seidel_phase_xla(
         ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
         hx, hy, hz, px, py, pz)

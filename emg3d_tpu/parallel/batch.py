@@ -21,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from emg3d_tpu import fields, models, solver
+from emg3d_tpu.ops import df64
 
 __all__ = ["solve_batch", "make_task_mesh"]
 
@@ -40,8 +41,8 @@ def _axes_of(arrs):
     stacked eta (4-D, batched over tasks) or shared eta (3-D, one copy)
     with a per-task ``eta_scale`` scalar.
     """
-    return {k: (0 if k == "eta_scale" or (k.startswith("eta_")
-                                          and arrs[k].ndim == 4)
+    return {k: (0 if k in ("eta_scale", "eta_scale_lo")
+                or (k.startswith("eta_") and arrs[k].ndim == 4)
                 else None) for k in arrs}
 
 
@@ -51,13 +52,24 @@ def _scaled(arrs):
     Inside a vmapped per-task function ``eta_scale`` is a scalar; the
     multiply stays inside the task's XLA program (fused into the
     stencil consumers), so the B-fold eta storage never exists in HBM.
+
+    The level-0 df64 companions (``eta_*_lo``, consumed by the split-
+    precision residual) are rescaled in split arithmetic against the
+    split scale (``eta_scale_lo``): a plain hi-only multiply would pair
+    (scale*hi) with task-0's lo and silently degrade the convergence
+    criterion to ~f32 accuracy for any task with scale != 1.
     """
     if "eta_scale" not in arrs:
         return arrs
     out = dict(arrs)
     scale = out.pop("eta_scale")
+    scale_lo = out.pop("eta_scale_lo", None)
     for k in ("eta_x", "eta_y", "eta_z"):
-        out[k] = scale * out[k]
+        if scale_lo is not None and k + "_lo" in out:
+            out[k], out[k + "_lo"] = df64.scale_split(
+                out[k], out[k + "_lo"], scale, scale_lo)
+        else:
+            out[k] = scale * out[k]
     return out
 
 
@@ -102,15 +114,16 @@ def _bresnorm(e, s, arrs):
     return jax.vmap(fn, in_axes=(0, 0, _axes_of(arrs)))(e, s, arrs)
 
 
-@jax.jit
-def _bresidual_norm_split(e_hi, e_lo, s, arrs):
-    """Batched split-field residual + per-task norms (B,)."""
+@df64.jit_exact
+def _bresidual_norm_split_core(e_hi, e_lo, s, arrs):
+    """Batched split-field residual + per-task norms (B,).
+
+    Compiled via df64.jit_exact (EFT arithmetic; see there)."""
     from emg3d_tpu.ops import operator
 
     def fn(eh, el, s_, a):
         a = _scaled(a)
         if eh[0].dtype in (jnp.complex64, jnp.float32):
-            from emg3d_tpu.ops import df64
             return df64.residual_norm_split_df64(eh, el, s_, a)
         r_hi = solver._residual_dev(eh, s_, a)
         a_lo = operator.amat_x(
@@ -121,6 +134,46 @@ def _bresidual_norm_split(e_hi, e_lo, s, arrs):
 
     return jax.vmap(fn, in_axes=(0, 0, 0, _axes_of(arrs)))(
         e_hi, e_lo, s, arrs)
+
+
+@jax.jit
+def _bresidual_norm_split_f64(e_hi, e_lo, s, arrs):
+    """CPU fast-exact batched split residual in native complex128
+    (mirror of solver._residual_norm_split_f64_jit; traced under
+    enable_x64 by the dispatcher below)."""
+    from emg3d_tpu.ops import operator
+
+    cdt = e_hi[0].dtype
+
+    def up(x):
+        return x.astype(jnp.complex128 if jnp.iscomplexobj(x)
+                        else jnp.float64)
+
+    def fn(eh, el, s_, a):
+        eta, zeta, hs = solver._f64_coeffs(a)
+        if "eta_scale" in a:
+            sc = up(a["eta_scale"]) + up(a.get(
+                "eta_scale_lo", jnp.zeros((), a["eta_scale"].dtype)))
+            eta = [sc * c for c in eta]
+        e = tuple(up(h) + up(l) for h, l in zip(eh, el))
+        ae = operator.amat_x(*e, *eta, zeta, *hs)
+        r = tuple(up(c) - x for c, x in zip(s_, ae))
+        l2 = operator.residual_norm(*r)
+        return (tuple(c.astype(cdt) for c in r),
+                l2.astype(jnp.float32))
+
+    return jax.vmap(fn, in_axes=(0, 0, 0, _axes_of(arrs)))(
+        e_hi, e_lo, s, arrs)
+
+
+def _bresidual_norm_split(e_hi, e_lo, s, arrs):
+    """Platform-adaptive batched split residual (host dispatch):
+    f32 on CPU -> native-f64 evaluation; else the core executable."""
+    if (e_hi[0].dtype in (jnp.complex64, jnp.float32)
+            and jax.default_backend() == 'cpu'):
+        with jax.enable_x64(True):
+            return _bresidual_norm_split_f64(e_hi, e_lo, s, arrs)
+    return _bresidual_norm_split_core(e_hi, e_lo, s, arrs)
 
 
 def _cycle_correction_batched(meta, arrays, r, var, first):
@@ -185,9 +238,12 @@ def _bnorm_dev(a):
 
 
 def _guarded_div(num, den):
-    """num/den with 0 where den == 0 (freezes broken-down tasks)."""
+    """num/den with 0 on breakdown (zero denominator OR a non-finite
+    quotient, e.g. a denormal-underflow denominator overflowing the
+    ratio) so broken-down tasks' algebra stays inert instead of NaN."""
     bad = den == 0
-    return jnp.where(bad, 0, num / jnp.where(bad, 1, den))
+    q = jnp.where(bad, 0, num / jnp.where(bad, 1, den))
+    return jnp.where(jnp.isfinite(q), q, 0)
 
 
 def _bxpay(x, a, y):
@@ -202,6 +258,7 @@ def _bcg_direction(r, rhat, p, v, rho, alpha, omega, first):
     if first:
         return r, rho_new
     beta = _guarded_div(rho_new, rho) * _guarded_div(alpha, omega)
+    beta = jnp.where(jnp.isfinite(beta), beta, 0)
     p_new = _bxpay(r, beta, _bxpay(p, -omega, v))
     return p_new, rho_new
 
@@ -217,11 +274,18 @@ def _bcg_alpha(phat, r, rhat, rho, arrs):
 
 @jax.jit
 def _bcg_advance(shat, phat, svec, x, alpha, active, arrs):
-    """t = A shat; omega; masked x/r updates; new residual norms."""
+    """t = A shat; omega; masked x/r updates; new residual norms.
+
+    Converged lanes are frozen by *selection* on the task mask, not by
+    zeroing the step: an active-lane breakdown can yield non-finite
+    Krylov scalars, and ``0 * NaN`` in a multiplicative gate would
+    still overwrite a frozen, already-converged solution with NaN.
+    """
     t = _bamat(shat, arrs)
     omega = _guarded_div(_bdot(t, svec), _bdot(t, t))
-    gate = active.astype(alpha.dtype)
-    x_new = _bxpay(_bxpay(x, gate * alpha, phat), gate * omega, shat)
+    x_upd = _bxpay(_bxpay(x, alpha, phat), omega, shat)
+    sel = active[:, None, None, None]
+    x_new = tuple(jnp.where(sel, u, c) for u, c in zip(x_upd, x))
     r_new = _bxpay(svec, -omega, t)
     return x_new, r_new, omega, _bnorm_dev(r_new)
 
@@ -328,12 +392,23 @@ def _build_hierarchy_batched(vmodels, sc_dir, lr_dir, clevel_max, mesh=None,
     if scales is not None:
         meta, arrays = solver._build_hierarchy(
             vmodels[0], sc_dir, lr_dir, clevel_max)
+        sc128 = np.asarray(scales, dtype=np.complex128)
         levels = []
         for lvl_arrs in arrays:
             out = dict(lvl_arrs)
-            sc = jnp.asarray(scales).astype(out["eta_x"].dtype)
-            if spec_b is not None:
-                sc = jax.device_put(sc, spec_b)
+            if "eta_x_lo" in out:
+                # f32 level with df64 companions: the scale itself is
+                # split so _scaled can rescale the lo-parts exactly.
+                sc, sc_lo = df64.split_f64(sc128, np.float32)
+                sc, sc_lo = jnp.asarray(sc), jnp.asarray(sc_lo)
+                if spec_b is not None:
+                    sc = jax.device_put(sc, spec_b)
+                    sc_lo = jax.device_put(sc_lo, spec_b)
+                out["eta_scale_lo"] = sc_lo
+            else:
+                sc = jnp.asarray(sc128).astype(out["eta_x"].dtype)
+                if spec_b is not None:
+                    sc = jax.device_put(sc, spec_b)
             out["eta_scale"] = sc
             levels.append(out)
         return meta, levels

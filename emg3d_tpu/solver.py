@@ -523,27 +523,31 @@ def _smooth_sweep_jit(e, s, arrs, c_lr_dir, nu):
     return _smooth_dev(e, s, arrs, c_lr_dir, nu)
 
 
-# 'sweep' (default): whole-smooth executables — fastest warm, slower
-# cold; 'phase': per-phase executables — fastest cold.  Read at call
-# time (host dispatch), so it can be flipped between solves.
-_SMOOTH_DISPATCH = os.environ.get('EMG3D_TPU_SMOOTH_DISPATCH', 'sweep')
+def _smooth_dispatch():
+    # 'sweep' (default): whole-smooth executables — fastest warm,
+    # slower cold; 'phase': per-phase executables — fastest cold.
+    # Read per host dispatch (cheap dict lookup), so the knob really
+    # can be flipped between solves without re-importing.
+    return os.environ.get('EMG3D_TPU_SMOOTH_DISPATCH', 'sweep')
 
 
 def _smooth_jit(e, s, arrs, c_lr_dir, nu):
-    if _SMOOTH_DISPATCH == 'phase':
+    if _smooth_dispatch() == 'phase':
         return _smooth_phases(e, s, arrs, c_lr_dir, nu)
     return _sj(_smooth_sweep_jit(e, s, arrs, c_lr_dir, nu))
 
 
-@jax.jit
-def _residual_norm_split_jit(e_hi, e_lo, s, arrs):
+@df64.jit_exact
+def _residual_norm_split_core_jit(e_hi, e_lo, s, arrs):
     """Residual r = s - A (e_hi + e_lo) and its norm, for a split field.
 
     The solution is accumulated as an unevaluated sum e_hi + e_lo (see
     :func:`_accumulate_jit`).  In float32 working precision the residual
     is evaluated in double-single arithmetic (ops.df64) — a plain f32
     evaluation floors the solve at ~4e-6 relative residual; in float64
-    mode A's linearity is used to avoid forming the sum.
+    mode A's linearity is used to avoid forming the sum.  Compiled via
+    :func:`df64.jit_exact`: XLA:CPU's default fusion emitters are
+    value-unsafe and silently demote the df64 evaluation to ~f32.
     """
     if e_hi[0].dtype in (jnp.complex64, jnp.float32):
         return df64.residual_norm_split_df64(e_hi, e_lo, s, arrs)
@@ -556,7 +560,64 @@ def _residual_norm_split_jit(e_hi, e_lo, s, arrs):
     return r, operator.residual_norm(*r)
 
 
+def _f64_coeffs(arrs):
+    """Reconstruct the float64 level-0 coefficients from their split
+    (hi, lo) pairs — exact: the pairs were produced by splitting the
+    f64 host values (``_build_hierarchy``)."""
+    def up(x):
+        return x.astype(jnp.complex128 if jnp.iscomplexobj(x)
+                        else jnp.float64)
+
+    eta = [up(arrs[k]) + up(arrs[k + '_lo'])
+           for k in ('eta_x', 'eta_y', 'eta_z')]
+    zeta = up(arrs['zeta']) + up(arrs['zeta_lo'])
+    # amat_x forms 1/h itself: hand it widths whose f64 inverses are
+    # the split ih pairs (double rounding ~eps64, negligible).
+    hs = [1.0 / (up(arrs['ih' + ax]) + up(arrs['ih' + ax + '_lo']))
+          for ax in 'xyz']
+    return eta, zeta, hs
+
+
 @jax.jit
+def _residual_norm_split_f64_jit(e_hi, e_lo, s, arrs):
+    """CPU fast-exact split residual: evaluate in native complex128.
+
+    On CPU, float64 is native and fast; promoting the split operands
+    and evaluating r = s - A e in complex128 is both cheaper and more
+    accurate (~eps64) than the double-single path with the legacy
+    (value-exact) emitters — measured 32c: 0.05 s vs 0.32 s.  Traced
+    under ``jax.experimental.enable_x64`` by the dispatcher below.
+    """
+    cdt = e_hi[0].dtype
+
+    def up(x):
+        return x.astype(jnp.complex128 if jnp.iscomplexobj(x)
+                        else jnp.float64)
+
+    e = tuple(up(h) + up(l) for h, l in zip(e_hi, e_lo))
+    eta, zeta, hs = _f64_coeffs(arrs)
+    ae = operator.amat_x(*e, *eta, zeta, *hs)
+    r = tuple(up(c) - a for c, a in zip(s, ae))
+    l2 = operator.residual_norm(*r)
+    return (tuple(c.astype(cdt) for c in r),
+            l2.astype(jnp.float32))
+
+
+def _residual_norm_split_jit(e_hi, e_lo, s, arrs):
+    """Platform-adaptive split residual dispatch (host level).
+
+    f32 working precision on the CPU backend takes the native-f64
+    evaluation (fast and exact there); everything else (f64 tests,
+    TPU production) takes the core executable.
+    """
+    if (e_hi[0].dtype in (jnp.complex64, jnp.float32)
+            and jax.default_backend() == 'cpu'):
+        with jax.enable_x64(True):
+            return _residual_norm_split_f64_jit(e_hi, e_lo, s, arrs)
+    return _residual_norm_split_core_jit(e_hi, e_lo, s, arrs)
+
+
+@df64.jit_exact
 def _accumulate_jit(e_hi, e_lo, de):
     """(e_hi, e_lo) += de with an error-free fast-two-sum per element.
 
@@ -564,6 +625,7 @@ def _accumulate_jit(e_hi, e_lo, de):
     ~eps-relative to the field — the mechanism that otherwise floors a
     float32 solve at ~1e-5 relative residual.  In float64 mode the same
     code simply extends the effective accumulation precision.
+    Compiled via :func:`df64.jit_exact` (EFT arithmetic; see there).
     """
     def f2s(hi, lo, d):
         t = lo + d
@@ -761,13 +823,14 @@ _retry_transient = backend.retry_transient
 #   EMG3D_TPU_CYCLE_JIT = 1 | 0 | auto
 # --------------------------------------------------------------------------
 
-_CYCLE_JIT = os.environ.get('EMG3D_TPU_CYCLE_JIT', 'auto')
-
-
 def _use_cycle_jit(var):
-    if _CYCLE_JIT == '1':
+    # Read per solve (host dispatch) so the knob can be flipped
+    # without re-importing; traced executables are unaffected (the
+    # knob only selects WHICH jitted functions the host loop calls).
+    mode = os.environ.get('EMG3D_TPU_CYCLE_JIT', 'auto')
+    if mode == '1':
         return var.placement is None
-    if _CYCLE_JIT == 'auto':
+    if mode == 'auto':
         return (var.placement is None and var.verb <= 3
                 and jax.default_backend() != 'cpu')
     return False
@@ -807,12 +870,15 @@ def _whole_step_factory(meta, meta2, cfg_key, first):
     """
     cfg = _CycleCfg(*cfg_key)
 
-    @jax.jit
+    # jit_exact: the fused program embeds the EFT accumulate/residual
+    # arithmetic, which XLA:CPU's default fusion emitters corrupt.
+    @df64.jit_exact
     def step(e_hi, e_lo, s, arrays, arrays2, r):
         de = _cycle_correction(meta, arrays, r, cfg, first,
                                smooth=_smooth_dev)
         e_hi2, e_lo2 = _accumulate_jit(e_hi, e_lo, de)
-        r2, l2 = _residual_norm_split_jit(e_hi2, e_lo2, s, arrays2[0])
+        r2, l2 = _residual_norm_split_core_jit(e_hi2, e_lo2, s,
+                                               arrays2[0])
         return e_hi2, e_lo2, r2, l2
 
     return step
@@ -828,7 +894,7 @@ def _whole_corr_factory(meta, cfg_key, first):
     """
     cfg = _CycleCfg(*cfg_key)
 
-    @jax.jit
+    @df64.jit_exact
     def step(e_hi, e_lo, r, arrays):
         de = _cycle_correction(meta, arrays, r, cfg, first,
                                smooth=_smooth_dev)

@@ -70,7 +70,7 @@ def test_smoother_dispatch_env(monkeypatch):
                                                   nz=6)
     ref = smoothers.gauss_seidel_phase(*e, *s, *eta, zeta, hx, hy, hz,
                                        0, 0, 0)
-    monkeypatch.setattr(smoothers, "_SMOOTHER_IMPL", "pallas-interpret")
+    monkeypatch.setenv("EMG3D_TPU_SMOOTHER", "pallas-interpret")
     out = smoothers.gauss_seidel_phase(*e, *s, *eta, zeta, hx, hy, hz,
                                        0, 0, 0)
     for a, b in zip(ref, out):

@@ -54,9 +54,9 @@ def test_smooth_dispatch_parity(monkeypatch):
                                maxit=2, return_info=True)
         return np.asarray(e.field), info["rel_error"]
 
-    monkeypatch.setattr(solver, "_SMOOTH_DISPATCH", "phase")
+    monkeypatch.setenv("EMG3D_TPU_SMOOTH_DISPATCH", "phase")
     f_phase, r_phase = run()
-    monkeypatch.setattr(solver, "_SMOOTH_DISPATCH", "sweep")
+    monkeypatch.setenv("EMG3D_TPU_SMOOTH_DISPATCH", "sweep")
     f_sweep, r_sweep = run()
 
     scale = np.abs(f_phase).max()
@@ -228,7 +228,7 @@ def test_whole_cycle_jit_parity(monkeypatch):
     f_mg, _ = run(plain=True)
     f_kr, _ = run(semicoarsening=False, linerelaxation=False)
 
-    monkeypatch.setattr(solver, '_CYCLE_JIT', '1')
+    monkeypatch.setenv('EMG3D_TPU_CYCLE_JIT', '1')
     f_mg2, i_mg2 = run(plain=True)
     f_kr2, i_kr2 = run(semicoarsening=False, linerelaxation=False)
 

@@ -1,20 +1,37 @@
 #!/bin/bash
-# Poll the TPU tunnel; when healthy, run the benchmark ladder and record
-# results to /tmp/bench_results.jsonl.  Usage: nohup tools/tpu_bench_watch.sh &
+# Poll the TPU tunnel; at the FIRST healthy window run the full
+# measurement pass in increasing cost order (so a window that closes
+# mid-run still yields the cheap numbers):
+#
+#   1. tools/tpu_profile.py  -> /tmp/tpu_profile.jsonl
+#      (dispatch latency, per-kernel timings incl. Mosaic Pallas,
+#       thomas-vs-pcr, full solves per size)
+#   2. bench ladder BENCH_N=48/64/96/128 -> /tmp/bench_results.jsonl
+#
+# Usage: nohup tools/tpu_bench_watch.sh & (or a background Bash task).
 set -u
+cd "$(dirname "$0")/.."
 OUT=/tmp/bench_results.jsonl
-for i in $(seq 1 200); do
-    if timeout 120 python -c "
+PROBE='
 import jax, jax.numpy as jnp, numpy as np
 a = jnp.asarray(np.ones(4096, np.complex64))
 assert abs(complex(jnp.sum(a*a)) - 4096) < 1e-3
-" > /dev/null 2>&1; then
-        echo "$(date -Is) TPU healthy; running bench ladder" >> "$OUT"
+'
+for i in $(seq 1 300); do
+    if timeout 120 python -c "$PROBE" > /dev/null 2>&1; then
+        echo "$(date -Is) TPU healthy; starting measurement pass" >> "$OUT"
+        # Cheap numbers first: profile writes one JSON line per metric,
+        # so a window closing mid-run still leaves partial data.
+        timeout 5400 python tools/tpu_profile.py >> "$OUT" 2>/dev/null
+        echo "$(date -Is) profile done; bench ladder" >> "$OUT"
         for n in 48 64 96 128; do
-            BENCH_N=$n timeout 900 python bench.py 2>/dev/null | tail -1 >> "$OUT"
+            BENCH_N=$n timeout 1800 python bench.py 2>/dev/null \
+                | tail -1 >> "$OUT"
         done
+        echo "$(date -Is) measurement pass complete" >> "$OUT"
         exit 0
     fi
-    sleep 120
+    sleep 100
 done
 echo "$(date -Is) TPU never became healthy" >> "$OUT"
+exit 3
