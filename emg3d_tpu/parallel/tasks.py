@@ -44,41 +44,52 @@ def process_map(fn, fn_inputs, max_workers=4, **kwargs):
 process_map.count = 0
 
 
+def _task_output_path(path):
+    """Sibling output file for an h5-spill task: ``<stem>_out.<ext>``
+    (the name the Simulation layer looks for; reference worker file
+    convention, _multiprocessing.py:112-153)."""
+    import pathlib
+
+    p = pathlib.PurePath(path)
+    return str(p.with_name(p.stem + '_out' + p.suffix))
+
+
 def solve(inp):
-    """Solve one task; mirrors the reference worker contract.
+    """Solve one task; keeps the reference worker's dict contract.
 
-    ``inp`` is a dict with keys [model, sfield, efield, solver_opts]
-    (forwarded to solve) or [model, grid, source, frequency, efield,
-    solver_opts] (forwarded to solve_source), or the path of an h5 file
-    holding such a dict under 'data' (file-based computation,
-    reference _multiprocessing.py:112-116).  The model is interpolated
-    to the task grid.  Always returns (efield, info).
+    ``inp`` is either a task dict or the path of an h5 file holding one
+    under ``'data'`` (file-based / h5-spill computation).  Two task
+    shapes exist (reference _multiprocessing.py:72-153):
+
+    - ``{model, sfield, efield, solver_opts}`` — a prepared source
+      field, solved on its own grid via :func:`solver.solve`;
+    - ``{model, grid, source, frequency, efield, solver_opts}`` — a
+      source definition, via :func:`solver.solve_source`.
+
+    The model is interpolated onto the task grid first.  Returns
+    ``(efield, info)``, or ``(out_path, out_path)`` in file mode with
+    the results saved next to the input.
     """
-    fname = False
-    if isinstance(inp, str):
-        fname = inp.rsplit('.', 1)[0] + '_out.' + inp.rsplit('.', 1)[1]
-        inp = io.load(inp, verb=0)['data']
+    path = inp if isinstance(inp, str) else None
+    task = io.load(path, verb=0)['data'] if path else inp
 
-    if 'sfield' in inp.keys():
-        solver_input = {**inp['solver_opts'], 'sfield': inp['sfield']}
-        inp['grid'] = inp['sfield'].grid
-        fct = solver.solve
+    if 'sfield' in task:
+        grid = task['sfield'].grid
+        run, how = solver.solve, {'sfield': task['sfield']}
     else:
-        solver_input = {**inp['solver_opts'], 'source': inp['source'],
-                        'frequency': inp['frequency']}
-        fct = solver.solve_source
+        grid = task['grid']
+        run, how = solver.solve_source, {'source': task['source'],
+                                         'frequency': task['frequency']}
 
-    model = inp['model'].interpolate_to_grid(inp['grid'])
+    efield, info = run(
+        model=task['model'].interpolate_to_grid(grid),
+        efield=task['efield'], return_info=True, always_return=True,
+        **how, **task['solver_opts'])
 
-    solver_input['model'] = model
-    solver_input['efield'] = inp['efield']
-    solver_input['return_info'] = True
-    solver_input['always_return'] = True
-
-    efield, info = fct(**solver_input)
-    if fname:
-        io.save(fname, efield=efield, info=info, verb=0)
-        return fname, fname
+    if path:
+        out = _task_output_path(path)
+        io.save(out, efield=efield, info=info, verb=0)
+        return out, out
     return efield, info
 
 
@@ -94,75 +105,61 @@ def layered(inp):
     Returns (nrec, nfreq) responses, or a (3, nx, ny, nz) gradient.
     """
     import numpy as np
-    from copy import deepcopy
 
     model = inp['model']
-    src = inp['src']
-    receivers = inp['receivers']
-    frequencies = np.array([f for f in inp['frequencies'].values()])
+    want_grad = inp['gradient']
+    all_freqs = np.asarray(list(inp['frequencies'].values()), dtype=float)
     observed = inp['observed']
-    lopts = deepcopy(inp['layered_opts'])
-    gradient = inp['gradient']
 
+    lopts = dict(inp['layered_opts'])
     method = lopts.pop('method', 'midpoint')
     lopts['return_imat'] = True
 
-    vti = model.case == 'VTI'
     if model.case in ('HTI', 'triaxial'):
         raise NotImplementedError(
             "Layered computation is implemented for isotropic and VTI "
             "models (as the reference).")
+    vti = model.case == 'VTI'
 
-    if gradient:
+    if want_grad:
         out = np.zeros((3, *model.shape))
-        weights = inp.get('weights', None)
-        residual = inp.get('residual', None)
-        if weights is None or residual is None or observed is None:
-            return out
+        weights, residual = inp.get('weights'), inp.get('residual')
+        if observed is None or weights is None or residual is None:
+            return out        # nothing to differentiate against
     else:
-        out = np.full((len(receivers), frequencies.size),
+        out = np.full((len(inp['receivers']), all_freqs.size),
                       np.nan + 1j * np.nan)
 
-    # observed/weights/residual are plain (nrec, nfreq) ndarrays (or
-    # None), indexed positionally in receiver-dict order.
-    for i, (rkey, rec) in enumerate(receivers.items()):
-        if observed is not None:
-            fi = np.isfinite(np.asarray(observed[i]))
-            if fi.sum() == 0:
-                continue
-            freqs = frequencies[fi]
-        else:
-            fi = np.ones(frequencies.size, dtype=bool)
-            freqs = frequencies
+    # observed/weights/residual: (nrec, nfreq) ndarrays (or None),
+    # positionally aligned with the receiver-dict order.
+    for i, rec in enumerate(inp['receivers'].values()):
+        # Frequencies with data for this receiver (all, if no data).
+        live = (np.isfinite(np.asarray(observed[i]))
+                if observed is not None
+                else np.ones(all_freqs.size, dtype=bool))
+        if not live.any():
+            continue
 
+        # 1-D column under the src-rec pair + its spread-back weights.
         oned, imat = model.extract_1d(
-            **_get_points(method, src, rec), **lopts)
+            **_get_points(method, inp['src'], rec), **lopts)
+        to_cond = oned.map.backward
+        cond_h = to_cond(oned.property_x[0, 0, :])
+        cond_v = to_cond(oned.property_z[0, 0, :]) if vti else None
+        fwd = {'src': inp['src'], 'rec': rec, 'freqs': all_freqs[live],
+               'depth': oned.grid.nodes_z[1:-1]}
 
-        map2cond = oned.map.backward
-        cond_h = map2cond(oned.property_x[0, 0, :])
-        cond_v = None if not vti else map2cond(oned.property_z[0, 0, :])
+        if not want_grad:
+            out[i, live] = _layered_fwd(cond_h, cond_v, fwd)
+            continue
 
-        fwd_inp = {
-            'src': src,
-            'rec': rec,
-            'depth': oned.grid.nodes_z[1:-1],
-            'freqs': freqs,
-        }
-
-        if gradient:
-            obs = np.asarray(observed[i])[fi]
-            wgt = np.asarray(weights[i])[fi]
-            res = np.asarray(residual[i])[fi]
-            misfit = np.sum(wgt * (res.conj() * res)).real / 2
-
-            out[0, ...] += _fd_gradient(cond_h, cond_v, obs, wgt, misfit,
-                                        fwd_inp, imat, vertical=False)
-            if vti:
-                out[2, ...] += _fd_gradient(cond_h, cond_v, obs, wgt,
-                                            misfit, fwd_inp, imat,
-                                            vertical=True)
-        else:
-            out[i, fi] = _layered_fwd(cond_h, cond_v, fwd_inp)
+        obs, wgt, res = (np.asarray(a[i])[live]
+                         for a in (observed, weights, residual))
+        misfit = np.sum(wgt * (res.conj() * res)).real / 2
+        args = (cond_h, cond_v, obs, wgt, misfit, fwd, imat)
+        out[0] += _fd_gradient(*args, vertical=False)
+        if vti:
+            out[2] += _fd_gradient(*args, vertical=True)
 
     return out
 
@@ -190,40 +187,44 @@ def _layered_fwd(cond_h, cond_v, fwd_inp):
 
 
 def _get_points(method, src, rec):
-    """Method/p0/p1 for Model.extract_1d (ref _multiprocessing.py:356)."""
-    p0 = src.center[:2]
-    p1 = rec.center[:2]
-    if method == 'source':
-        p1 = p0
-        method = 'midpoint'
-    elif method == 'receiver':
-        p0 = p1
-        method = 'midpoint'
-    return {'method': method, 'p0': p0, 'p1': p1}
+    """Extraction-line kwargs for ``Model.extract_1d``.
+
+    The 1-D column is taken along the horizontal src->rec segment;
+    'source'/'receiver' collapse the segment onto that endpoint (a
+    degenerate 'midpoint' line).  Same semantics as the reference
+    (_multiprocessing.py:356-390).
+    """
+    ends = {'source': (src, src), 'receiver': (rec, rec)}
+    a, b = ends.get(method, (src, rec))
+    return {'method': 'midpoint' if method in ends else method,
+            'p0': tuple(a.center[:2]), 'p1': tuple(b.center[:2])}
 
 
 def _fd_gradient(cond_h, cond_v, data, weight, misfit, fwd_inp, imat,
                  vertical):
-    """Layer-wise finite-difference gradient (0.01 % perturbation).
+    """Misfit gradient w.r.t. the 1-D conductivities by forward FD.
 
-    Reference: emg3d/_multiprocessing.py:395-463.
+    One forward evaluation per layer, with that layer's (horizontal or
+    vertical) conductivity perturbed by +0.01 %, differenced against
+    the unperturbed misfit — the reference's scheme
+    (_multiprocessing.py:395-463).  The layer sensitivities are spread
+    back onto the 3-D grid by the extraction weights ``imat``.
     """
     import numpy as np
 
-    rel_diff = 0.0001
-    grad = np.zeros(cond_h.size)
-    for iz in range(cond_h.size):
-        cond_p = cond_h.copy() if not vertical else cond_v.copy()
-        delta = cond_p[iz] * rel_diff
-        cond_p[iz] += delta
+    base = np.asarray(cond_v if vertical else cond_h, dtype=float)
 
-        if vertical:
-            response = _layered_fwd(cond_h, cond_p, fwd_inp)
-        else:
-            response = _layered_fwd(cond_p, cond_v, fwd_inp)
+    def half_misfit(resp):
+        d = resp - data
+        return float(np.sum(weight * (d.conj() * d)).real) / 2
 
-        residual = response - data
-        fd_misfit = np.sum(weight * (residual.conj() * residual)).real / 2
-        grad[iz] = (fd_misfit - misfit) / delta
+    sens = np.empty_like(base)
+    for iz, c in enumerate(base):
+        step = 1e-4 * c
+        pert = base.copy()
+        pert[iz] = c + step
+        hv = (cond_h, pert) if vertical else (pert, cond_v)
+        sens[iz] = (half_misfit(_layered_fwd(*hv, fwd_inp))
+                    - misfit) / step
 
-    return imat[..., None] * grad[None, :]
+    return imat[..., None] * sens[None, :]
