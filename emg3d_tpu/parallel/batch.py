@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from emg3d_tpu import fields, models, solver
 from emg3d_tpu.ops import df64
 
-__all__ = ["solve_batch", "make_task_mesh"]
+__all__ = ["solve_batch", "solve_batch_fields", "make_task_mesh"]
 
 
 def make_task_mesh(n_devices=None, axis="task"):
@@ -327,26 +327,38 @@ def _bprecond(s, var, bhier):
     return tuple(h + l for h, l in zip(e_hi, e_lo))
 
 
-def _bicgstab_batch(s, var, bhier, verb=0):
+def _bicgstab_batch(s, var, bhier, verb=0, x0=None):
     """Right-preconditioned BiCGSTAB over the task batch.
 
     Batched counterpart of solver._bicgstab (reference role:
-    emg3d/solver.py:759-765).  Returns (x, rnorm, it, converged_mask).
+    emg3d/solver.py:759-765).  ``x0`` warm-starts the iteration (the
+    initial residual is then s - A x0).  Returns
+    (x, rnorm, it, converged_mask).
     """
     arrs0 = bhier.get(var.sc_dir, var.lr_dir)[1][0]
 
     bnrm = np.asarray(_bnorm_dev(s))
     atol = np.maximum(1e-30, var.tol * np.where(bnrm == 0, 1.0, bnrm))
 
-    x = tuple(jnp.zeros_like(c) for c in s)
-    r = rhat = s                     # r = s - A·0
+    if x0 is None:
+        x = tuple(jnp.zeros_like(c) for c in s)
+        r = s                        # r = s - A·0
+        rnorm = bnrm.copy()
+    else:
+        x = x0
+        r = _bxpay(s, -jnp.ones(bnrm.shape, dtype=s[0].dtype),
+                   _bamat(x, arrs0))
+        rnorm = np.asarray(_bnorm_dev(r))
+    rhat = r
     cdtype = s[0].dtype
     ones = jnp.ones(bnrm.shape, dtype=cdtype)
     rho = alpha = omega = ones
-    v = p = x
+    v = p = tuple(jnp.zeros_like(c) for c in s)
 
-    active = bnrm > 0                # zero-source tasks are born done
-    rnorm = bnrm.copy()
+    # Zero-source (or already-converged warm-started) tasks: born done.
+    active = (bnrm > 0) & (rnorm >= atol)
+    if not active.any():
+        return x, rnorm, 0, rnorm < atol
 
     it = 0
     for it in range(1, var.ssl_maxit + 1):
@@ -454,8 +466,9 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
         batch is padded up to a multiple of the mesh size.
     kwargs
         Solver options as for solve(): tol, maxit, cycle, sslsolver,
-        semicoarsening, linerelaxation, nu_*, clevel.  Defaults are
-        plain multigrid cycles; ``sslsolver=True`` runs the production
+        semicoarsening, linerelaxation, nu_*, clevel; plus optional
+        ``efields`` (warm-start guesses).  Defaults are plain
+        multigrid cycles; ``sslsolver=True`` runs the production
         configuration (batched MG-preconditioned BiCGSTAB; 'cgs' and
         'gcrotmk' have no batched form).
 
@@ -465,9 +478,32 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
     info : dict
         Per-task iteration counts, errors, and exit messages.
     """
-    nsrc = len(sources)
-    if len(frequencies) != nsrc:
+    if len(frequencies) != len(sources):
         raise ValueError("sources and frequencies must have equal length.")
+    sfields = [fields.get_source_field(model.grid, src, freq)
+               for src, freq in zip(sources, frequencies)]
+    return solve_batch_fields(model, sfields, mesh=mesh, axis=axis,
+                              verb=verb, **kwargs)
+
+
+def solve_batch_fields(model, sfields, mesh=None, axis="task", verb=0,
+                       efields=None, **kwargs):
+    """Batched solve for prebuilt source fields (one per task).
+
+    Engine behind :func:`solve_batch`; also the batch-mode carrier of
+    the Simulation's adjoint (residual source fields, ``_bcompute``)
+    and sensitivity (``jvec``) solves, whose right-hand sides are
+    arbitrary fields rather than dipole sources — the reference
+    parallelizes those through the same process pool as the forward
+    fields (emg3d/simulations.py:1193-1233, 1270-1397).
+
+    ``efields`` (list of Field or None, per task) warm-starts each
+    task; already-converged guesses terminate with zero iterations.
+    """
+    import time
+
+    t0 = time.perf_counter()
+    nsrc = len(sfields)
 
     kwargs.setdefault("sslsolver", False)
     kwargs.setdefault("semicoarsening", False)
@@ -479,9 +515,10 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
             f"sslsolver='{var.sslsolver}' has no batched form; use "
             "'bicgstab' (or parallel='task').")
 
-    # Build per-task source fields and volume models (host, setup time).
-    sfields = [fields.get_source_field(model.grid, src, freq)
-               for src, freq in zip(sources, frequencies)]
+    sfields = list(sfields)
+    guesses = list(efields) if efields is not None else None
+    if guesses is not None and not any(g is not None for g in guesses):
+        guesses = None
 
     # Shared-eta fast path: all tasks see the SAME model, and without
     # epsilon_r eta is linear in s — task k's eta is (s_k/s_0) times
@@ -501,6 +538,8 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
         pad = (-ntask) % nd
         for _ in range(pad):
             sfields.append(sfields[-1])
+            if guesses is not None:
+                guesses.append(guesses[-1])
             if scales is None:
                 vmodels.append(vmodels[-1])
             else:
@@ -516,19 +555,36 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
         spec = NamedSharding(mesh, PartitionSpec(axis))
         s = tuple(jax.device_put(c, spec) for c in s)
 
+    # Warm-start stack: per-task initial guesses (zeros where absent).
+    x0 = None
+    if guesses is not None:
+        def dev_or_zero(g, like):
+            if g is None:
+                return tuple(np.zeros(c.shape, dtype=c.dtype)
+                             for c in like)
+            return solver._field_to_dev(g)
+
+        like = solver._field_to_dev(sfields[0])
+        x0 = tuple(jnp.stack(c) for c in zip(
+            *[dev_or_zero(g, like) for g in guesses]))
+        if mesh is not None:
+            x0 = tuple(jax.device_put(c, spec) for c in x0)
+
     l2_refe = np.array([np.linalg.norm(sf.field) for sf in sfields])
     l2_refe = np.where(l2_refe == 0.0, 1.0, l2_refe)
 
     if var.sslsolver:
-        x, l2, it_ssl, conv = _bicgstab_batch(s, var, bhier, verb=verb)
+        x, l2, it_ssl, conv = _bicgstab_batch(s, var, bhier, verb=verb,
+                                              x0=x0)
         exit_messages = ["CONVERGED" if c else
                          "MAX. ITERATION REACHED, NOT CONVERGED"
                          for c in conv]
         it_mg, it_ssl = var.it, it_ssl
         parts = x
     else:
-        e_hi = tuple(jnp.zeros_like(c) for c in s)
-        e_lo = e_hi
+        e_hi = (x0 if x0 is not None
+                else tuple(jnp.zeros_like(c) for c in s))
+        e_lo = tuple(jnp.zeros_like(c) for c in s)
 
         it = 0
         first = True
@@ -592,5 +648,8 @@ def solve_batch(model, sources, frequencies, mesh=None, axis="task",
         "ref_error": l2_refe[:nsrc],
         "exit_messages": exit_messages[:nsrc],
         "tol": var.tol,
+        # Wall-clock of the whole batch (tasks run fused, there is no
+        # meaningful per-task split).
+        "runtime": round(time.perf_counter() - t0, 3),
     }
     return efields, info

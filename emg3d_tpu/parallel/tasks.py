@@ -81,10 +81,13 @@ def solve(inp):
         run, how = solver.solve_source, {'source': task['source'],
                                          'frequency': task['frequency']}
 
+    # The worker always needs the info dict back, whatever the task's
+    # own solver options say.
+    opts = {**task['solver_opts'], 'return_info': True,
+            'always_return': True}
     efield, info = run(
         model=task['model'].interpolate_to_grid(grid),
-        efield=task['efield'], return_info=True, always_return=True,
-        **how, **task['solver_opts'])
+        efield=task['efield'], **how, **opts)
 
     if path:
         out = _task_output_path(path)

@@ -505,13 +505,8 @@ class Simulation:
 
         self.print_solver_info('efield', verb=self.verb)
 
-    def _compute_batch(self, srcfreq):
-        """All pairs as one sharded batch (emg3d_tpu.parallel.batch).
-
-        The survey's (source, frequency) axis becomes a leading batch
-        dimension sharded over the devices of a 1-D jax mesh: the
-        TPU-native form of the reference's per-task process pool.
-        """
+    def _batch_setup(self, tol):
+        """Shared batch-mode inputs: device mesh + filtered solver opts."""
         import jax
 
         from emg3d_tpu.parallel import batch
@@ -521,26 +516,25 @@ class Simulation:
                 "parallel='batch' requires gridding='same' (one shared "
                 "grid for all tasks).")
 
-        sources = [self.survey.sources[src] for src, _ in srcfreq]
-        freqs = [self.survey.frequencies[f] for _, f in srcfreq]
-
-        mesh = None
-        if len(jax.devices()) > 1:
-            mesh = batch.make_task_mesh()
-
+        mesh = batch.make_task_mesh() if len(jax.devices()) > 1 else None
         sopts = {k: v for k, v in self.solver_opts.items()
                  if k in ('tol', 'maxit', 'cycle', 'sslsolver',
                           'semicoarsening', 'linerelaxation', 'clevel',
                           'nu_init', 'nu_pre', 'nu_coarse', 'nu_post',
                           'verb')}
-        sopts['tol'] = self.tol_forward
+        sopts['tol'] = tol
+        return batch, mesh, sopts
 
-        efields, info = batch.solve_batch(
-            self.model, sources, freqs, mesh=mesh, **sopts)
+    def _store_batch_result(self, kind, srcfreq, fields_out, info):
+        """Unpack a batch solve into the per-task caches.
 
+        Mirrors what the task engine stores (info-dict keys,
+        ``file_dir`` h5 spill via the worker's output-file convention).
+        """
+        dict_field = getattr(self, f'_dict_{kind}')
+        dict_info = getattr(self, f'_dict_{kind}_info')
         for i, (src, freq) in enumerate(srcfreq):
-            self._dict_efield[src][freq] = efields[i]
-            self._dict_efield_info[src][freq] = {
+            task_info = {
                 'exit': int(info['exit_messages'][i] != 'CONVERGED'),
                 'exit_message': info['exit_messages'][i],
                 'abs_error': float(info['abs_error'][i]),
@@ -548,9 +542,39 @@ class Simulation:
                 'it_mg': info['it_mg'],
                 'it_ssl': info.get('it_ssl', 0),
                 'tol': info['tol'],
+                'runtime': info.get('runtime'),
             }
-            resp = self._get_responses(src, freq)
-            self.data['synthetic'].loc[src, :, freq] = resp
+            field = fields_out[i]
+            if self.file_dir:
+                fname = os.path.join(
+                    self.file_dir, f"{kind}_{src}_{freq}_out.h5")
+                io.save(fname, efield=field, info=task_info, verb=0)
+                field = task_info = fname
+            dict_field[src][freq] = field
+            dict_info[src][freq] = task_info
+
+    def _compute_batch(self, srcfreq):
+        """All pairs as one sharded batch (emg3d_tpu.parallel.batch).
+
+        The survey's (source, frequency) axis becomes a leading batch
+        dimension sharded over the devices of a 1-D jax mesh: the
+        TPU-native form of the reference's per-task process pool.
+        """
+        batch, mesh, sopts = self._batch_setup(self.tol_forward)
+
+        sources = [self.survey.sources[src] for src, _ in srcfreq]
+        freqs = [self.survey.frequencies[f] for _, f in srcfreq]
+        guesses = [self._dict_get('efield', src, freq)
+                   for src, freq in srcfreq]
+
+        efields, info = batch.solve_batch(
+            self.model, sources, freqs, mesh=mesh, efields=guesses,
+            **sopts)
+
+        self._store_batch_result('efield', srcfreq, efields, info)
+        for src, freq in srcfreq:
+            self.data['synthetic'].loc[src, :, freq] = \
+                self._get_responses(src, freq)
 
         self.print_solver_info('efield', verb=self.verb)
 
@@ -720,22 +744,40 @@ class Simulation:
         return gradient[kept, ..., :self._input_sc2].squeeze()
 
     def _bcompute(self):
-        """Back-propagate the residual fields (simulations.py:1193-1233)."""
+        """Back-propagate the residual fields (simulations.py:1193-1233).
+
+        In ``parallel='batch'`` mode the adjoint sources stack exactly
+        like forward source fields, so the whole residual back-
+        propagation runs as one device-mesh-sharded batched solve —
+        the gradient then scales over devices like the forward pass.
+        """
         for cache in ('_dict_bfield', '_dict_bfield_info'):
             self.__dict__.setdefault(cache, self._dict_initiate)
 
-        def bfield_payload(src, freq):
-            return {
-                'sfield': self._get_rfield(src, freq),
-                'efield': self._dict_get('bfield', src, freq),
-            }
+        if self.parallel == 'batch':
+            batch, mesh, sopts = self._batch_setup(self.tol_gradient)
+            rfields = [self._get_rfield(src, freq)
+                       for src, freq in self._srcfreq]
+            guesses = [self._dict_get('bfield', src, freq)
+                       for src, freq in self._srcfreq]
+            bfields, info = batch.solve_batch_fields(
+                self.model, rfields, mesh=mesh, efields=guesses, **sopts)
+            self._store_batch_result('bfield', self._srcfreq, bfields,
+                                     info)
+        else:
+            def bfield_payload(src, freq):
+                return {
+                    'sfield': self._get_rfield(src, freq),
+                    'efield': self._dict_get('bfield', src, freq),
+                }
 
-        out = self._solve_tasks('bfield', self._srcfreq, bfield_payload,
-                                'Back-propagate', self.tol_gradient)
+            out = self._solve_tasks('bfield', self._srcfreq,
+                                    bfield_payload, 'Back-propagate',
+                                    self.tol_gradient)
 
-        for (src, freq), (bfield, binfo) in zip(self._srcfreq, out):
-            self._dict_bfield[src][freq] = bfield
-            self._dict_bfield_info[src][freq] = binfo
+            for (src, freq), (bfield, binfo) in zip(self._srcfreq, out):
+                self._dict_bfield[src][freq] = bfield
+                self._dict_bfield_info[src][freq] = binfo
 
         self.print_solver_info('bfield', verb=self.verb)
 
@@ -800,7 +842,7 @@ class Simulation:
         _SLOTS = {'isotropic': (0, 0, 0), 'HTI': (0, 1, 0),
                   'VTI': (0, 0, 1), 'triaxial': (0, 1, 2)}
 
-        def gfield_payload(src, freq):
+        def gfield_source(src, freq):
             efield = self._dict_get('efield', src, freq)
             on_task_grid = [
                 maps.interpolate(values=v, xi=efield.grid, **iopts)
@@ -808,16 +850,31 @@ class Simulation:
             cvec = tuple(on_task_grid[i]
                          for i in _SLOTS[self.model.case])
             gvec = maps.edge_product_deriv_times_vector(efield, cvec)
-            gfield = fields.Field(
+            return fields.Field(
                 grid=efield.grid, data=-efield.smu0 * gvec,
                 frequency=efield.frequency)
-            return {'sfield': gfield, 'efield': None}
-
-        out = self._solve_tasks('gfield', self._srcfreq, gfield_payload,
-                                'Compute jvec', self.tol_gradient)
 
         if 'jvec' not in self.data.keys():
             self.data['jvec'] = self._nan_responses()
+
+        if self.parallel == 'batch':
+            # Sensitivity sources batch like forward sources: one
+            # sharded solve for the whole survey.
+            batch, mesh, sopts = self._batch_setup(self.tol_gradient)
+            gsrcs = [gfield_source(src, freq)
+                     for src, freq in self._srcfreq]
+            gfields, _ = batch.solve_batch_fields(
+                self.model, gsrcs, mesh=mesh, **sopts)
+            for (src, freq), gfield in zip(self._srcfreq, gfields):
+                self.data['jvec'].loc[src, :, freq] = \
+                    self._get_responses(src, freq, gfield)
+            return self.data['jvec'].data
+
+        def gfield_payload(src, freq):
+            return {'sfield': gfield_source(src, freq), 'efield': None}
+
+        out = self._solve_tasks('gfield', self._srcfreq, gfield_payload,
+                                'Compute jvec', self.tol_gradient)
 
         for (src, freq), result in zip(self._srcfreq, out):
             gfield = self._load(result[0], 'efield')

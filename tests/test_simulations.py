@@ -292,6 +292,59 @@ class TestBatchParallel:
         info = sim_b.get_efield_info('TxED-1', 'f-1')
         assert info['exit_message'] == 'CONVERGED'
 
+        # Warm restart: recomputing passes the converged fields as
+        # initial guesses -> the batch terminates without cycling.
+        sim_b.compute()
+        info2 = sim_b.get_efield_info('TxED-1', 'f-1')
+        assert info2['it_mg'] == 0
+        assert info2['exit_message'] == 'CONVERGED'
+
+    @pytest.mark.slow
+    def test_batch_gradient_matches_task(self):
+        """parallel='batch' routes the adjoint (_bcompute) through the
+        batched engine; the gradient must match the task path (the
+        residual source fields stack exactly like forward sources)."""
+        model, sim_inp = make_inputs(nsrc=2, nfreq=2)
+        model_true = e3.Model(model.grid, property_x=1.2,
+                              mapping='Resistivity')
+        sim_true = e3.Simulation(model=model_true, **sim_inp)
+        sim_true.compute(observed=True, add_noise=False)
+        observed = np.asarray(sim_true.data.observed).copy()
+
+        def grad_of(parallel):
+            inp = dict(sim_inp)
+            inp['survey'] = sim_inp['survey'].copy()
+            inp['survey'].data['observed'] = observed
+            sim = e3.Simulation(model=model, parallel=parallel, **inp)
+            return np.asarray(sim.gradient)
+
+        g_task = grad_of('task')
+        g_batch = grad_of('batch')
+        # Fields solved to 5e-7 under different iteration control; the
+        # gradients agree to well below that in aggregate.
+        diff = np.linalg.norm(g_batch - g_task)
+        assert diff < 1e-4 * np.linalg.norm(g_task)
+
+    @pytest.mark.slow
+    def test_batch_jvec_matches_task(self):
+        """jvec in batch mode == jvec through the task engine."""
+        model, sim_inp = make_inputs(nsrc=2)
+
+        def jvec_of(parallel):
+            inp = dict(sim_inp)
+            inp['survey'] = sim_inp['survey'].copy()
+            sim = e3.Simulation(model=model, parallel=parallel, **inp)
+            sim.compute(observed=True, add_noise=False)
+            rng = np.random.default_rng(7)
+            v = rng.normal(size=model.grid.shape_cells)
+            return np.asarray(sim.jvec(v))
+
+        j_task = jvec_of('task')
+        j_batch = jvec_of('batch')
+        mask = np.isfinite(j_task)
+        assert (np.linalg.norm((j_batch - j_task)[mask])
+                < 1e-4 * np.linalg.norm(j_task[mask]))
+
     @pytest.mark.slow
     def test_batch_production_config(self):
         """The reference's default production configuration — MG-

@@ -63,6 +63,75 @@ def main():
 
     emit(metric="device", value=str(jax.devices()[0]))
 
+    # 0. EFT integrity on this backend: does the jitted df64 split
+    # residual keep double-single accuracy, or does the platform's
+    # fused codegen corrupt the error-free transformations (as
+    # XLA:CPU's fusion emitters do — see ops/df64.jit_exact)?  The
+    # near-converged setup (s = c64(A e)) makes any corruption O(1)
+    # of the true residual.
+    try:
+        from emg3d_tpu.ops import df64 as _df64
+        from emg3d_tpu.ops import operator as _op
+
+        rng = np.random.default_rng(5)
+        nx, ny, nz = 9, 8, 7
+        eta64 = (-(rng.uniform(1e3, 5e3, (nx, ny, nz)))
+                 + 1j * rng.uniform(1e2, 5e2, (nx, ny, nz)))
+        zeta64 = rng.uniform(1e3, 2e3, (nx, ny, nz))
+        h64 = [rng.uniform(20, 60, n) for n in (nx, ny, nz)]
+        arrs = {}
+        for nm, val in (("eta_x", eta64), ("eta_y", 1.1 * eta64),
+                        ("eta_z", 0.9 * eta64), ("zeta", zeta64)):
+            hi, lo = _df64.split_f64(np.asarray(val), np.float32)
+            arrs[nm], arrs[nm + "_lo"] = jnp.asarray(hi), jnp.asarray(lo)
+        for nm, hh in zip("xyz", h64):
+            arrs["h" + nm] = jnp.asarray(hh, dtype=jnp.float32)
+            ihi, ilo = _df64.split_f64(1.0 / np.asarray(hh), np.float32)
+            arrs["ih" + nm] = jnp.asarray(ihi)
+            arrs["ih" + nm + "_lo"] = jnp.asarray(ilo)
+        shp = [(nx, ny + 1, nz + 1), (nx + 1, ny, nz + 1),
+               (nx + 1, ny + 1, nz)]
+        e64 = [rng.normal(size=c) + 1j * rng.normal(size=c) for c in shp]
+        e_hi = tuple(np.asarray(c, np.complex64) for c in e64)
+        e_lo = tuple(np.asarray(c - h.astype(np.complex128), np.complex64)
+                     for c, h in zip(e64, e_hi))
+
+        def as128(hi, lo):
+            return np.asarray(hi, np.complex128) + np.asarray(
+                lo, np.complex128)
+
+        e_sum = tuple(as128(h, l) for h, l in zip(e_hi, e_lo))
+        # f64 reference on the HOST CPU backend (x64 is off globally,
+        # and the TPU should not be asked for f64).
+        with jax.enable_x64(True):
+            ax = jax.jit(_op.amat_x, backend="cpu")(
+                *e_sum,
+                as128(arrs["eta_x"], arrs["eta_x_lo"]),
+                as128(arrs["eta_y"], arrs["eta_y_lo"]),
+                as128(arrs["eta_z"], arrs["eta_z_lo"]),
+                np.asarray(arrs["zeta"], np.float64)
+                + np.asarray(arrs["zeta_lo"], np.float64),
+                *[np.asarray(hh) for hh in h64])
+            ax = [np.asarray(c) for c in ax]
+        s_c = tuple(np.asarray(c, np.complex64) for c in ax)
+        r64 = tuple(np.asarray(a, np.complex128)
+                    - np.asarray(b, np.complex128)
+                    for a, b in zip(s_c, ax))
+        for tag, jit_fn in (("jit_exact", _df64.jit_exact),
+                            ("plain_jit", jax.jit)):
+            f = jit_fn(_df64.residual_norm_split_df64)
+            r, _ = f(tuple(map(jnp.asarray, e_hi)),
+                     tuple(map(jnp.asarray, e_lo)),
+                     tuple(map(jnp.asarray, s_c)), arrs)
+            rel = max(
+                float(np.linalg.norm(np.asarray(r[c], np.complex128)
+                                     - r64[c])
+                      / np.linalg.norm(r64[c])) for c in range(3))
+            emit(metric=f"df64_eft_integrity_{tag}", rel_error=rel,
+                 ok=rel < 1e-4)
+    except Exception as exc:
+        emit(metric="df64_eft_integrity_error", error=str(exc)[:200])
+
     # 1. dispatch overhead.
     x = jnp.ones(8)
     f = jax.jit(lambda a: a + 1.0)
@@ -139,11 +208,17 @@ def main():
                 model, sfield, plain=True, cycle='F', tol=1e-6,
                 maxit=50, return_info=True, verb=0)
             warm = time.perf_counter() - t0
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+                peak = stats.get("peak_bytes_in_use")
+            except Exception:
+                peak = None
             emit(metric="solve_plain_F", size=n, cold_s=round(cold, 3),
                  warm_s=round(warm, 3), it_mg=info["it_mg"],
                  cells_per_s=round(n ** 3 / warm),
                  rel_error=float(info["rel_error"]),
-                 exit=info["exit_message"])
+                 exit=info["exit_message"],
+                 peak_hbm_bytes=peak)
         except Exception as exc:
             emit(metric="solve_error", size=n, error=str(exc)[:200])
 
