@@ -300,10 +300,17 @@ def gauss_seidel_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     impl = os.environ.get("EMG3D_TPU_SMOOTHER", "xla")
     if impl != "xla":
         from emg3d_tpu.ops import pallas_gs
+        interpret = impl == "pallas-interpret"
+        if pallas_gs.use_tiled(ex, ey, ez, sx, sy, sz,
+                               eta_x, eta_y, eta_z, zeta):
+            # Fine levels: working set exceeds VMEM — stream (x, y)
+            # tiles with double-buffered DMA.
+            return pallas_gs.gauss_seidel_phase_pallas_tiled(
+                ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+                hx, hy, hz, px, py, pz, interpret=interpret)
         return pallas_gs.gauss_seidel_phase_pallas(
             ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
-            hx, hy, hz, px, py, pz,
-            interpret=impl == "pallas-interpret")
+            hx, hy, hz, px, py, pz, interpret=interpret)
     return _gauss_seidel_phase_xla(
         ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
         hx, hy, hz, px, py, pz)

@@ -78,6 +78,58 @@ def test_smoother_dispatch_env(monkeypatch):
                                    rtol=1e-12)
 
 
+@pytest.mark.parametrize("color", [(0, 0, 0), (1, 0, 1), (1, 1, 1)])
+@pytest.mark.parametrize("tile", [2, 3])
+def test_tiled_interpret_equals_complex(color, tile):
+    """The fine-level tiled double-buffered kernel == complex phase.
+
+    nx=11 gives 5 phase blocks along x: tile=2 exercises a ragged
+    last tile (overlap-recompute), tile=3 a clamped origin."""
+    e, s, eta, zeta, hx, hy, hz = _random_problem(seed=13, nx=11,
+                                                  ny=9, nz=8)
+    ref = smoothers.gauss_seidel_phase(*e, *s, *eta, zeta, hx, hy, hz,
+                                       *color)
+    out = pallas_gs.gauss_seidel_phase_pallas_tiled(
+        *e, *s, *eta, zeta, hx, hy, hz, *color, tile=tile,
+        interpret=True)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12)
+
+
+def test_tiled_dispatch_env(monkeypatch):
+    """EMG3D_TPU_PALLAS_TILED=1 + pallas-interpret routes the phase
+    through the tiled kernel (same numbers as the xla path)."""
+    e, s, eta, zeta, hx, hy, hz = _random_problem(seed=7, nx=8, ny=7,
+                                                  nz=6)
+    ref = smoothers.gauss_seidel_phase(*e, *s, *eta, zeta, hx, hy, hz,
+                                       1, 0, 0)
+    monkeypatch.setenv("EMG3D_TPU_SMOOTHER", "pallas-interpret")
+    monkeypatch.setenv("EMG3D_TPU_PALLAS_TILED", "1")
+    out = smoothers.gauss_seidel_phase(*e, *s, *eta, zeta, hx, hy, hz,
+                                       1, 0, 0)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12)
+
+
+def test_tiled_full_sweep():
+    """A full 8-color sweep of tiled phases == the complex sweep."""
+    e, s, eta, zeta, hx, hy, hz = _random_problem(seed=17, nx=10,
+                                                  ny=9, nz=7)
+    shape = (hx.size, hy.size, hz.size)
+    ref = smoothers.gauss_seidel_sweep(*e, *s, *eta, zeta, hx, hy, hz,
+                                       False)
+    out = e
+    for c in smoothers.phase_colors(shape, False):
+        out = pallas_gs.gauss_seidel_phase_pallas_tiled(
+            *out, *s, *eta, zeta, hx, hy, hz, *c, tile=2,
+            interpret=True)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-11)
+
+
 def test_full_sweep_through_split_phases():
     """A full 8-color sweep composed of split phases == complex sweep."""
     e, s, eta, zeta, hx, hy, hz = _random_problem(seed=11)
