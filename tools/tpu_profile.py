@@ -50,6 +50,40 @@ def timed(fn, *args, n=10):
     return float(np.median(ts))
 
 
+# Peak HBM bandwidth per chip, GB/s (public chip specs), keyed by
+# substrings of jax device_kind.  Used for the roofline position of
+# each kernel: this solver is HBM-bound (stencils + small block
+# solves, no matmuls), so achieved-GB/s / peak is the efficiency
+# metric that matters — the analogue of MFU for a bandwidth-bound
+# workload.
+_HBM_PEAK_GBPS = (("v6", 1640.0), ("v5p", 2765.0), ("v5", 819.0),
+                  ("v4", 1228.0), ("v3", 900.0))
+
+
+def hbm_peak_gbps():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _HBM_PEAK_GBPS:
+        if key in kind:
+            return peak
+    return None
+
+
+def bw_fields(t, units, n, itemsize=4):
+    """Roofline fields for a kernel touching ``units`` f32-plane
+    equivalents of an n^3 grid: the MINIMUM HBM traffic model (each
+    named array read or written once; strided color access touches
+    every cache line, so partial reads count as full planes)."""
+    bytes_moved = units * n ** 3 * itemsize
+    gbps = bytes_moved / t / 1e9
+    peak = hbm_peak_gbps()
+    out = {"bytes_model": bytes_moved, "gbps": round(gbps, 1)}
+    if peak:
+        out["hbm_frac"] = round(gbps / peak, 3)
+    return out
+
+
 def main():
     from emg3d_tpu import backend
 
@@ -150,9 +184,14 @@ def main():
             s = solver._field_to_dev(sfield)
             e = tuple(jnp.zeros_like(c) for c in s)
 
+            # Traffic models (f32-plane units of n^3): one GS phase
+            # reads e+s+eta (complex pairs) + zeta = 19 planes and
+            # writes the 3 updated complex fields = 6 planes; the df64
+            # residual carries hi+lo pairs of everything.
             t = timed(solver._gs_phase_jit, e, s, arrs, (0, 0, 0), n=5)
             emit(metric="gs_phase_s", size=n, value=t,
-                 cells_per_s=round(n ** 3 / 8 / t))
+                 cells_per_s=round(n ** 3 / 8 / t),
+                 **bw_fields(t, 25, n))
 
             for solver_kind in ("thomas", "pcr"):
                 os.environ["EMG3D_TPU_LINE_SOLVER"] = solver_kind
@@ -160,14 +199,16 @@ def main():
                 t = timed(solver._line_phase_jit, e, s, arrs, (0, 0), 0,
                           n=5)
                 emit(metric=f"line_phase_{solver_kind}_s", size=n,
-                     value=t, lines_per_s=round(n * n / 4 / t))
+                     value=t, lines_per_s=round(n * n / 4 / t),
+                     **bw_fields(t, 25, n))
             os.environ.pop("EMG3D_TPU_LINE_SOLVER", None)
             jax.clear_caches()
 
             t = timed(lambda: solver._residual_norm_split_jit(
                 e, e, s, arrs)[1], n=5)
             emit(metric="df64_residual_s", size=n, value=t,
-                 cells_per_s=round(n ** 3 / t))
+                 cells_per_s=round(n ** 3 / t),
+                 **bw_fields(t, 38, n))
 
             # Mosaic-compiled whole-phase Pallas kernel vs the XLA
             # phase (VMEM-resident v1 — expect failures above the
@@ -182,10 +223,27 @@ def main():
                                   *e_, *s_, *P, 0, 0, 0))
                 t = timed(pal, e, s, n=5)
                 emit(metric="gs_phase_pallas_s", size=n, value=t,
-                     cells_per_s=round(n ** 3 / 8 / t))
+                     cells_per_s=round(n ** 3 / 8 / t),
+                     **bw_fields(t, 25, n))
             except Exception as exc:
                 emit(metric="gs_phase_pallas_error", size=n,
                      error=str(exc)[:200])
+
+            # Fine-level tiled double-buffered kernel, per tile size.
+            for tt in (2, 4, 8):
+                try:
+                    pal_t = jax.jit(lambda e_, s_, tt=tt: pallas_gs.
+                                    gauss_seidel_phase_pallas_tiled(
+                                        *e_, *s_, *P, 0, 0, 0,
+                                        tile=tt))
+                    t = timed(pal_t, e, s, n=5)
+                    emit(metric="gs_phase_pallas_tiled_s", size=n,
+                         tile=tt, value=t,
+                         cells_per_s=round(n ** 3 / 8 / t),
+                         **bw_fields(t, 25, n))
+                except Exception as exc:
+                    emit(metric="gs_phase_pallas_tiled_error", size=n,
+                         tile=tt, error=str(exc)[:200])
         except Exception as exc:
             emit(metric="kernel_block_error", size=n,
                  error=str(exc)[:200])
@@ -213,12 +271,16 @@ def main():
                 peak = stats.get("peak_bytes_in_use")
             except Exception:
                 peak = None
+            # Approximate per-cycle traffic: (nu_pre+nu_post)=4 sweeps
+            # x 8 phases x 25 planes + residual 38 + transfers ~50,
+            # times the 8/7 level-ladder factor ~= 1015 plane units.
+            bw = bw_fields(warm, 1015 * max(info["it_mg"], 1), n)
             emit(metric="solve_plain_F", size=n, cold_s=round(cold, 3),
                  warm_s=round(warm, 3), it_mg=info["it_mg"],
                  cells_per_s=round(n ** 3 / warm),
                  rel_error=float(info["rel_error"]),
                  exit=info["exit_message"],
-                 peak_hbm_bytes=peak)
+                 peak_hbm_bytes=peak, **bw)
         except Exception as exc:
             emit(metric="solve_error", size=n, error=str(exc)[:200])
 
