@@ -628,9 +628,12 @@ class Simulation:
         excluded from the sum.
         """
         if self._misfit is None:
+            # Validate the weights BEFORE the (expensive) forward
+            # computes: a missing standard deviation should fail fast,
+            # not after minutes of solves.
+            self._ensure_weights()
             if not self._computed:
                 self.compute()
-            self._ensure_weights()
 
             self.data['residual'] = (
                 self.data.synthetic - self.data.observed)

@@ -78,6 +78,7 @@ class TestForward:
         syn = np.asarray(sim.data.synthetic)
         assert np.all(np.isfinite(syn))
 
+    @pytest.mark.slow
     def test_responses_vs_analytical(self):
         """Electric receivers vs analytical fullspace.
 
@@ -273,6 +274,32 @@ class TestFileDir:
 
 class TestBatchParallel:
 
+    def test_batch_matches_task_quick(self):
+        """8³ smoke parity for the quick tier: 3 fixed plain cycles
+        run the identical cycle sequence in both engines, so the
+        batched fields must equal the per-task fields to near machine
+        precision (f64 on the test backend), not just loosely."""
+        model, sim_inp = make_inputs(nx=8, nsrc=2, nfreq=1)
+        sim_inp = dict(sim_inp)
+        sim_inp['solver_opts'] = {'plain': True, 'maxit': 3,
+                                  'cycle': 'F', 'tol': 1e-12, 'verb': 0}
+
+        sim_t = e3.Simulation(model=model, **sim_inp)
+        sim_t.compute()
+
+        sim_inp2 = dict(sim_inp)
+        sim_inp2['survey'] = sim_inp['survey'].copy()
+        sim_b = e3.Simulation(model=model, parallel='batch', **sim_inp2)
+        sim_b.compute()
+
+        for src in ('TxED-1', 'TxED-2'):
+            a = sim_t.get_efield(src, 'f-1').field
+            b = sim_b.get_efield(src, 'f-1').field
+            # Different executables (vmapped vs per-task) may fuse
+            # differently: f64 rounding-level agreement, not bitwise.
+            assert np.linalg.norm(b - a) < 1e-9 * np.linalg.norm(a)
+
+    @pytest.mark.slow
     def test_batch_matches_task(self):
         """Sharded batched execution reproduces the per-task solves."""
         model, sim_inp = make_inputs(nsrc=2, nfreq=2)

@@ -64,6 +64,7 @@ def test_smooth_dispatch_parity(monkeypatch):
     assert abs(r_sweep - r_phase) < 1e-6 * max(r_phase, 1e-30)
 
 
+@pytest.mark.slow
 def test_solution_matches_dense_solve():
     grid, model, sfield = fullspace_setup(8)
     efield = solver.solve(model, sfield, plain=True, verb=-1, tol=1e-10)
@@ -88,6 +89,7 @@ def test_bicgstab_vti():
     assert info["rel_error"] < 1e-6
 
 
+@pytest.mark.slow
 def test_sc_lr_stretched_grid():
     rng = np.random.default_rng(4)
     h = [50 * 1.1 ** np.arange(8), np.ones(8) * 50, 40 * (1 + rng.random(8))]
@@ -113,6 +115,7 @@ def test_laplace_domain():
     assert np.isfinite(efield.field).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cycle", ["V", "W"])
 def test_other_cycles(cycle):
     _, model, sfield = fullspace_setup(8)
@@ -196,7 +199,8 @@ def test_mgparameters_validation():
     assert var.sc_cycle and var.lr_cycle
 
 
-@pytest.mark.parametrize("sslsolver", ["cgs", "gcrotmk"])
+@pytest.mark.parametrize("sslsolver", [
+    pytest.param("cgs", marks=pytest.mark.slow), "gcrotmk"])
 def test_krylov_variants(sslsolver):
     """The native device-side cgs and gcrotmk variants converge."""
     import numpy as np
