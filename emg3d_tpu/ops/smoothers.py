@@ -316,79 +316,28 @@ def gauss_seidel_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
         hx, hy, hz, px, py, pz)
 
 
-def _gauss_seidel_phase_xla(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
-                            zeta, hx, hy, hz, px, py, pz):
-    """jax.numpy phase kernel: assemble and solve the 6x6 node systems
-    (reference core.py:392-492) for the stride-2 node subgrid with
-    (ix-1, iy-1, iz-1) ≡ (px, py, pz) mod 2.  All coefficients are
-    computed directly on the phase block (composed strided slices of
-    the inputs), so a phase's XLA graph carries ~1/8 of a sweep's work.
+def _phase_solve(gf, st, m, ih):
+    """Assemble and solve the per-node 6x6 systems of one point phase.
+
+    Layout-agnostic core shared by the strided-slice phase
+    (:func:`_gauss_seidel_phase_xla`) and the parity-blocked phase
+    (:mod:`emg3d_tpu.ops.blocked`): the caller provides the gathers,
+    this function provides the physics (reference core.py:392-492).
+
+    ``gf(name, i, j, k)`` gathers field/source component ``name`` on
+    the phase block; each index is interpreted per the component's
+    axis kinds (ex/sx: cell-node-node; ey/sy: node-cell-node; ez/sz:
+    node-node-cell), cell offsets i in {0, 1}, node offsets in
+    {-1, 0, 1}.  ``st`` are the six diagonal eta sums (already /4),
+    ``m`` the 24 averaged-zeta coefficients
+    (:func:`_m_coefficients`), ``ih`` the broadcast inverse widths
+    {ihxa, ihxb, ihym, ihyp, ihzm, ihzp}.  Returns the six solution
+    blocks [ex-, ex+, ey-, ey+, ez-, ez+].
     """
-    nx, ny, nz = hx.size, hy.size, hz.size
-
-    kx, ky, kz = 0.5 / hx, 0.5 / hy, 0.5 / hz
-    ihx, ihy, ihz = 1.0 / hx, 1.0 / hy, 1.0 / hz
-
-    # Slice helpers on the phase's stride-2 node subgrid.
-    def csl(o, n, p):   # cell-type slice at the phase nodes: o in {0, 1}.
-        return slice(o + p, n - 1 + o, 2)
-
-    def nsl(d, n, p):   # node-type slice: d in {-1, 0, 1}.
-        return slice(1 + d + p, n + d, 2)
-
-    xa, xb = csl(0, nx, px), csl(1, nx, px)
-    ym, yp = csl(0, ny, py), csl(1, ny, py)
-    zm, zp = csl(0, nz, pz), csl(1, nz, pz)
-
-    # Coefficient broadcasts on the phase block.
-    kxa = kx[xa][:, None, None]
-    kxb = kx[xb][:, None, None]
-    kym = ky[ym][None, :, None]
-    kyp = ky[yp][None, :, None]
-    kzm = kz[zm][None, None, :]
-    kzp = kz[zp][None, None, :]
-    pihxa = ihx[xa][:, None, None]
-    pihxb = ihx[xb][:, None, None]
-    pihym = ihy[ym][None, :, None]
-    pihyp = ihy[yp][None, :, None]
-    pihzm = ihz[zm][None, None, :]
-    pihzp = ihz[zp][None, None, :]
-    ihxa, ihxb = pihxa, pihxb
-    ihym, ihyp = pihym, pihyp
-    ihzm, ihzp = pihzm, pihzp
-
-    # zeta gathers on the phase block (composed slices of the full
-    # gathers zeta[:-1]/zeta[1:] + {m,p} y/z offsets).
-    z = {}
-    for xk, xs in (("a", xa), ("b", xb)):
-        z[xk + "mm"] = zeta[xs, ym, zm]
-        z[xk + "mp"] = zeta[xs, ym, zp]
-        z[xk + "pm"] = zeta[xs, yp, zm]
-        z[xk + "pp"] = zeta[xs, yp, zp]
-    m = _m_coefficients(z, kxa, kxb, kym, kyp, kzm, kzp)
-
-    # Diagonal eta sums (divided by 4, reference core.py:390).
-    def st(eta, s0, s1, s2, ax):
-        # 4-cell sum over the two axes != ax, at phase offsets.
-        sls = [s0, s1, s2]
-        out = 0.0
-        for d1 in (0, 1):
-            for d2 in (0, 1):
-                idx = list(sls)
-                others = [i for i in range(3) if i != ax]
-                n_ = (nx, ny, nz)
-                p_ = (px, py, pz)
-                idx[others[0]] = csl(d1, n_[others[0]], p_[others[0]])
-                idx[others[1]] = csl(d2, n_[others[1]], p_[others[1]])
-                out = out + eta[tuple(idx)]
-        return out / 4.0
-
-    st0 = st(eta_x, xa, None, None, 0)
-    st1 = st(eta_x, xb, None, None, 0)
-    st2 = st(eta_y, None, ym, None, 1)
-    st3 = st(eta_y, None, yp, None, 1)
-    st4 = st(eta_z, None, None, zm, 2)
-    st5 = st(eta_z, None, None, zp, 2)
+    st0, st1, st2, st3, st4, st5 = st
+    ihxa, ihxb = ih["ihxa"], ih["ihxb"]
+    ihym, ihyp = ih["ihym"], ih["ihyp"]
+    ihzm, ihzp = ih["ihzm"], ih["ihzp"]
 
     # 6x6 system rows on the phase block (lower+upper by symmetry;
     # core.py:392-430).
@@ -430,82 +379,156 @@ def _gauss_seidel_phase_xla(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
         jnp.stack([a40, a41, a42, a43, a44, a54], axis=-1),
         jnp.stack([a50, a51, a52, a53, a54, a55], axis=-1),
     ]
-    mp = {k: jnp.broadcast_to(v, zero.shape) for k, v in m.items()}
-
-
-    def gex(f, o, dy, dz):
-        return f[csl(o, nx, px), nsl(dy, ny, py), nsl(dz, nz, pz)]
-
-    def gey(f, dx, o, dz):
-        return f[nsl(dx, nx, px), csl(o, ny, py), nsl(dz, nz, pz)]
-
-    def gez(f, dx, dy, o):
-        return f[nsl(dx, nx, px), nsl(dy, ny, py), csl(o, nz, pz)]
 
     # rhs = b - (couplings to all 12 non-node edges); core.py:432-492.
-    # Cell-axis offsets o: 0 = minus cell (i-1), 1 = plus cell (i);
-    # node-axis offsets d: -1/0/+1 relative to the node.
-    r0 = (gex(sx, 0, 0, 0)
-          + mp["zyRxm"] * (gey(ey, -1, 1, 0) * pihxa
-                           + gex(ex, 0, 1, 0) * pihyp)
-          + mp["zyLxm"] * (-gey(ey, -1, 0, 0) * pihxa
-                           + gex(ex, 0, -1, 0) * pihym)
-          + mp["yzRxm"] * (gez(ez, -1, 0, 1) * pihxa
-                           + gex(ex, 0, 0, 1) * pihzp)
-          + mp["yzLxm"] * (-gez(ez, -1, 0, 0) * pihxa
-                           + gex(ex, 0, 0, -1) * pihzm))
+    # Cell-axis offsets: 0 = minus cell (i-1), 1 = plus cell (i);
+    # node-axis offsets: -1/0/+1 relative to the node.
+    r0 = (gf("sx", 0, 0, 0)
+          + m["zyRxm"] * (gf("ey", -1, 1, 0) * ihxa
+                          + gf("ex", 0, 1, 0) * ihyp)
+          + m["zyLxm"] * (-gf("ey", -1, 0, 0) * ihxa
+                          + gf("ex", 0, -1, 0) * ihym)
+          + m["yzRxm"] * (gf("ez", -1, 0, 1) * ihxa
+                          + gf("ex", 0, 0, 1) * ihzp)
+          + m["yzLxm"] * (-gf("ez", -1, 0, 0) * ihxa
+                          + gf("ex", 0, 0, -1) * ihzm))
 
-    r1 = (gex(sx, 1, 0, 0)
-          + mp["zyRxp"] * (-gey(ey, 1, 1, 0) * pihxb
-                           + gex(ex, 1, 1, 0) * pihyp)
-          + mp["zyLxp"] * (gey(ey, 1, 0, 0) * pihxb
-                           + gex(ex, 1, -1, 0) * pihym)
-          + mp["yzRxp"] * (-gez(ez, 1, 0, 1) * pihxb
-                           + gex(ex, 1, 0, 1) * pihzp)
-          + mp["yzLxp"] * (gez(ez, 1, 0, 0) * pihxb
-                           + gex(ex, 1, 0, -1) * pihzm))
+    r1 = (gf("sx", 1, 0, 0)
+          + m["zyRxp"] * (-gf("ey", 1, 1, 0) * ihxb
+                          + gf("ex", 1, 1, 0) * ihyp)
+          + m["zyLxp"] * (gf("ey", 1, 0, 0) * ihxb
+                          + gf("ex", 1, -1, 0) * ihym)
+          + m["yzRxp"] * (-gf("ez", 1, 0, 1) * ihxb
+                          + gf("ex", 1, 0, 1) * ihzp)
+          + m["yzLxp"] * (gf("ez", 1, 0, 0) * ihxb
+                          + gf("ex", 1, 0, -1) * ihzm))
 
-    r2 = (gey(sy, 0, 0, 0)
-          + mp["zxRym"] * (gey(ey, 1, 0, 0) * pihxb
-                           + gex(ex, 1, -1, 0) * pihym)
-          + mp["zxLym"] * (gey(ey, -1, 0, 0) * pihxa
-                           - gex(ex, 0, -1, 0) * pihym)
-          + mp["xzRym"] * (gez(ez, 0, -1, 1) * pihym
-                           + gey(ey, 0, 0, 1) * pihzp)
-          + mp["xzLym"] * (-gez(ez, 0, -1, 0) * pihym
-                           + gey(ey, 0, 0, -1) * pihzm))
+    r2 = (gf("sy", 0, 0, 0)
+          + m["zxRym"] * (gf("ey", 1, 0, 0) * ihxb
+                          + gf("ex", 1, -1, 0) * ihym)
+          + m["zxLym"] * (gf("ey", -1, 0, 0) * ihxa
+                          - gf("ex", 0, -1, 0) * ihym)
+          + m["xzRym"] * (gf("ez", 0, -1, 1) * ihym
+                          + gf("ey", 0, 0, 1) * ihzp)
+          + m["xzLym"] * (-gf("ez", 0, -1, 0) * ihym
+                          + gf("ey", 0, 0, -1) * ihzm))
 
-    r3 = (gey(sy, 0, 1, 0)
-          + mp["zxRyp"] * (gey(ey, 1, 1, 0) * pihxb
-                           - gex(ex, 1, 1, 0) * pihyp)
-          + mp["zxLyp"] * (gey(ey, -1, 1, 0) * pihxa
-                           + gex(ex, 0, 1, 0) * pihyp)
-          + mp["xzRyp"] * (-gez(ez, 0, 1, 1) * pihyp
-                           + gey(ey, 0, 1, 1) * pihzp)
-          + mp["xzLyp"] * (gez(ez, 0, 1, 0) * pihyp
-                           + gey(ey, 0, 1, -1) * pihzm))
+    r3 = (gf("sy", 0, 1, 0)
+          + m["zxRyp"] * (gf("ey", 1, 1, 0) * ihxb
+                          - gf("ex", 1, 1, 0) * ihyp)
+          + m["zxLyp"] * (gf("ey", -1, 1, 0) * ihxa
+                          + gf("ex", 0, 1, 0) * ihyp)
+          + m["xzRyp"] * (-gf("ez", 0, 1, 1) * ihyp
+                          + gf("ey", 0, 1, 1) * ihzp)
+          + m["xzLyp"] * (gf("ez", 0, 1, 0) * ihyp
+                          + gf("ey", 0, 1, -1) * ihzm))
 
-    r4 = (gez(sz, 0, 0, 0)
-          + mp["yxRzm"] * (gez(ez, 1, 0, 0) * pihxb
-                           + gex(ex, 1, 0, -1) * pihzm)
-          + mp["yxLzm"] * (gez(ez, -1, 0, 0) * pihxa
-                           - gex(ex, 0, 0, -1) * pihzm)
-          + mp["xyRzm"] * (gez(ez, 0, 1, 0) * pihyp
-                           + gey(ey, 0, 1, -1) * pihzm)
-          + mp["xyLzm"] * (gez(ez, 0, -1, 0) * pihym
-                           - gey(ey, 0, 0, -1) * pihzm))
+    r4 = (gf("sz", 0, 0, 0)
+          + m["yxRzm"] * (gf("ez", 1, 0, 0) * ihxb
+                          + gf("ex", 1, 0, -1) * ihzm)
+          + m["yxLzm"] * (gf("ez", -1, 0, 0) * ihxa
+                          - gf("ex", 0, 0, -1) * ihzm)
+          + m["xyRzm"] * (gf("ez", 0, 1, 0) * ihyp
+                          + gf("ey", 0, 1, -1) * ihzm)
+          + m["xyLzm"] * (gf("ez", 0, -1, 0) * ihym
+                          - gf("ey", 0, 0, -1) * ihzm))
 
-    r5 = (gez(sz, 0, 0, 1)
-          + mp["yxRzp"] * (gez(ez, 1, 0, 1) * pihxb
-                           - gex(ex, 1, 0, 1) * pihzp)
-          + mp["yxLzp"] * (gez(ez, -1, 0, 1) * pihxa
-                           + gex(ex, 0, 0, 1) * pihzp)
-          + mp["xyRzp"] * (gez(ez, 0, 1, 1) * pihyp
-                           - gey(ey, 0, 1, 1) * pihzp)
-          + mp["xyLzp"] * (gez(ez, 0, -1, 1) * pihym
-                           + gey(ey, 0, 0, 1) * pihzp))
+    r5 = (gf("sz", 0, 0, 1)
+          + m["yxRzp"] * (gf("ez", 1, 0, 1) * ihxb
+                          - gf("ex", 1, 0, 1) * ihzp)
+          + m["yxLzp"] * (gf("ez", -1, 0, 1) * ihxa
+                          + gf("ex", 0, 0, 1) * ihzp)
+          + m["xyRzp"] * (gf("ez", 0, 1, 1) * ihyp
+                          - gf("ey", 0, 1, 1) * ihzp)
+          + m["xyLzp"] * (gf("ez", 0, -1, 1) * ihym
+                          + gf("ey", 0, 0, 1) * ihzp))
 
-    sol = _solve6(rows, [r0, r1, r2, r3, r4, r5])
+    return _solve6(rows, [r0, r1, r2, r3, r4, r5])
+
+
+def _gauss_seidel_phase_xla(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
+                            zeta, hx, hy, hz, px, py, pz):
+    """jax.numpy phase kernel: assemble and solve the 6x6 node systems
+    (reference core.py:392-492) for the stride-2 node subgrid with
+    (ix-1, iy-1, iz-1) ≡ (px, py, pz) mod 2.  All coefficients are
+    computed directly on the phase block (composed strided slices of
+    the inputs), so a phase's XLA graph carries ~1/8 of a sweep's work.
+    """
+    nx, ny, nz = hx.size, hy.size, hz.size
+
+    kx, ky, kz = 0.5 / hx, 0.5 / hy, 0.5 / hz
+    ihx, ihy, ihz = 1.0 / hx, 1.0 / hy, 1.0 / hz
+
+    # Slice helpers on the phase's stride-2 node subgrid.
+    def csl(o, n, p):   # cell-type slice at the phase nodes: o in {0, 1}.
+        return slice(o + p, n - 1 + o, 2)
+
+    def nsl(d, n, p):   # node-type slice: d in {-1, 0, 1}.
+        return slice(1 + d + p, n + d, 2)
+
+    xa, xb = csl(0, nx, px), csl(1, nx, px)
+    ym, yp = csl(0, ny, py), csl(1, ny, py)
+    zm, zp = csl(0, nz, pz), csl(1, nz, pz)
+
+    # Coefficient broadcasts on the phase block.
+    kxa = kx[xa][:, None, None]
+    kxb = kx[xb][:, None, None]
+    kym = ky[ym][None, :, None]
+    kyp = ky[yp][None, :, None]
+    kzm = kz[zm][None, None, :]
+    kzp = kz[zp][None, None, :]
+    ih = {
+        "ihxa": ihx[xa][:, None, None], "ihxb": ihx[xb][:, None, None],
+        "ihym": ihy[ym][None, :, None], "ihyp": ihy[yp][None, :, None],
+        "ihzm": ihz[zm][None, None, :], "ihzp": ihz[zp][None, None, :],
+    }
+
+    # zeta gathers on the phase block (composed slices of the full
+    # gathers zeta[:-1]/zeta[1:] + {m,p} y/z offsets).
+    z = {}
+    for xk, xs in (("a", xa), ("b", xb)):
+        z[xk + "mm"] = zeta[xs, ym, zm]
+        z[xk + "mp"] = zeta[xs, ym, zp]
+        z[xk + "pm"] = zeta[xs, yp, zm]
+        z[xk + "pp"] = zeta[xs, yp, zp]
+    m = _m_coefficients(z, kxa, kxb, kym, kyp, kzm, kzp)
+
+    # Diagonal eta sums (divided by 4, reference core.py:390).
+    def st(eta, s0, s1, s2, ax):
+        # 4-cell sum over the two axes != ax, at phase offsets.
+        sls = [s0, s1, s2]
+        out = 0.0
+        for d1 in (0, 1):
+            for d2 in (0, 1):
+                idx = list(sls)
+                others = [i for i in range(3) if i != ax]
+                n_ = (nx, ny, nz)
+                p_ = (px, py, pz)
+                idx[others[0]] = csl(d1, n_[others[0]], p_[others[0]])
+                idx[others[1]] = csl(d2, n_[others[1]], p_[others[1]])
+                out = out + eta[tuple(idx)]
+        return out / 4.0
+
+    st0 = st(eta_x, xa, None, None, 0)
+    st1 = st(eta_x, xb, None, None, 0)
+    st2 = st(eta_y, None, ym, None, 1)
+    st3 = st(eta_y, None, yp, None, 1)
+    st4 = st(eta_z, None, None, zm, 2)
+    st5 = st(eta_z, None, None, zp, 2)
+
+    fld = {"ex": ex, "ey": ey, "ez": ez, "sx": sx, "sy": sy, "sz": sz}
+    kinds = {"ex": "cnn", "sx": "cnn", "ey": "ncn", "sy": "ncn",
+             "ez": "nnc", "sz": "nnc"}
+
+    def gf(name, i, j, k):
+        kd = kinds[name]
+        sls = []
+        for v, knd, n, p in zip((i, j, k), kd, (nx, ny, nz),
+                                (px, py, pz)):
+            sls.append(csl(v, n, p) if knd == "c" else nsl(v, n, p))
+        return fld[name][tuple(sls)]
+
+    sol = _phase_solve(gf, (st0, st1, st2, st3, st4, st5), m, ih)
 
     # Scatter the solutions to the six adjacent edges of the phase's
     # nodes — disjoint strided targets, no masking needed.
