@@ -111,9 +111,49 @@ def _make_objective(sim):
     return fun, set_model, m0
 
 
+def _make_roughness(shape, widths):
+    """Per-block roughness functional ½‖D m‖² and its gradient.
+
+    D is the first-difference operator between neighbouring cell
+    centres along each axis, scaled by the inverse centre distance
+    (so the penalty approximates ∫|∇m|² dV up to a volume factor and
+    is invariant under grid refinement of a smooth model).  Returns
+    ``rough(mblock, axis_weights) -> (phi_s, grad_block)`` with
+    ``mblock`` of shape ``shape``.
+    """
+    # Inverse distances between neighbouring cell centres, broadcast
+    # to the difference arrays' shapes.
+    inv_d = []
+    for ax, hx in enumerate(widths):
+        d = 0.5 * (hx[:-1] + hx[1:])          # centre-to-centre
+        bshape = [1, 1, 1]
+        bshape[ax] = d.size
+        inv_d.append((1.0 / d).reshape(bshape))
+
+    def rough(mb, axw):
+        phi = 0.0
+        grad = np.zeros(shape, dtype=np.float64)
+        for ax in range(3):
+            w = axw[ax]
+            if not w:
+                continue
+            diff = np.diff(mb, axis=ax) * inv_d[ax]
+            phi += 0.5 * w * float((diff * diff).sum())
+            g = w * diff * inv_d[ax]          # adjoint of scaled diff
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[ax] = slice(None, -1)
+            hi[ax] = slice(1, None)
+            grad[tuple(lo)] -= g
+            grad[tuple(hi)] += g
+        return phi, grad
+
+    return rough
+
+
 def minimize(simulation, maxiter=10, method='L-BFGS-B', bounds=None,
              tol=1e-8, regularization=0.0, reference_model=None,
-             callback=None, verb=1):
+             smoothness=0.0, callback=None, verb=1):
     """Minimize the simulation's data misfit over its model parameters.
 
     Parameters
@@ -137,6 +177,13 @@ def minimize(simulation, maxiter=10, method='L-BFGS-B', bounds=None,
         data misfit (a minimal smoother/damper; 0 disables).
     reference_model : ndarray, optional
         m_ref of the penalty (default: the starting model).
+    smoothness : float or (float, float, float)
+        Weight β of the roughness penalty ½β‖D m‖², where D takes
+        first differences between neighbouring cell centres (scaled by
+        the inverse centre distance) along each axis; a 3-tuple gives
+        per-axis weights (e.g. ``(1, 1, 0.1)`` to allow sharper
+        vertical layering).  Applied per parameterized property block.
+        0 disables.
     callback : callable, optional
         ``callback(iteration, misfit, model_vector)`` after each
         optimizer iteration.
@@ -155,6 +202,14 @@ def minimize(simulation, maxiter=10, method='L-BFGS-B', bounds=None,
              else np.asarray(reference_model,
                              dtype=np.float64).ravel(order='F'))
 
+    axw = tuple(np.broadcast_to(
+        np.asarray(smoothness, dtype=np.float64), (3,)))
+    if any(axw):
+        shape = sim.model.shape
+        nblock = int(np.prod(shape))
+        rough = _make_roughness(
+            shape, [np.asarray(h, dtype=np.float64)
+                    for h in sim.model.grid.h])
     state = {'n_eval': 0, 'n_it': 0, 'best': None, 'history': [],
              'misfit0': None, 't0': time.time()}
 
@@ -168,6 +223,14 @@ def minimize(simulation, maxiter=10, method='L-BFGS-B', bounds=None,
             dm = m - m_ref
             phi = phi + 0.5 * regularization * float(dm @ dm)
             grad = grad + regularization * dm
+        if any(axw):
+            grad = np.array(grad, dtype=np.float64, copy=True)
+            for i in range(m.size // nblock):
+                sl = slice(i * nblock, (i + 1) * nblock)
+                phi_s, gs = rough(
+                    m[sl].reshape(shape, order='F'), axw)
+                phi = phi + phi_s
+                grad[sl] += gs.ravel(order='F')
         state['history'].append(phi_d)
         if state['best'] is None or phi_d <= state['best'][0]:
             state['best'] = (phi_d, m.copy())

@@ -174,3 +174,103 @@ def test_result_repr():
         model=None, misfit=1.0, misfit0=10.0, n_iterations=3,
         n_evaluations=5, success=True, message='ok')
     assert 'iterations=3' in repr(r)
+
+
+def test_roughness_functional():
+    """Pure-numpy checks of the smoothness penalty ½β‖D m‖²."""
+    rng = np.random.default_rng(7)
+    shape = (5, 4, 3)
+    widths = [rng.uniform(50, 200, n) for n in shape]
+    rough = native._make_roughness(shape, widths)
+
+    # Constant model -> zero penalty, zero gradient.
+    phi, g = rough(np.full(shape, 3.14), (1.0, 1.0, 1.0))
+    assert phi == 0.0
+    np.testing.assert_allclose(g, 0.0)
+
+    # FD check of the gradient on a random model, anisotropic weights.
+    m = rng.standard_normal(shape)
+    axw = (1.0, 2.5, 0.0)          # z-axis off: per-axis weighting
+    phi, g = rough(m, axw)
+    assert phi > 0
+
+    # z-variations must not contribute when its weight is 0.
+    mz = m + rng.standard_normal((1, 1, shape[2]))
+    phi_z, _ = rough(mz, axw)
+    # Only x/y diffs matter; adding a pure-z profile changes nothing.
+    assert abs(phi_z - phi) < 1e-12 * max(phi, 1.0)
+
+    d = rng.standard_normal(shape)
+    eps = 1e-6
+    fd = (rough(m + eps * d, axw)[0] - rough(m - eps * d, axw)[0]) / (2 * eps)
+    assert abs(fd - (g * d).sum()) < 1e-7 * abs(fd)
+
+    # Linear-in-x model on a uniform grid: penalty ≈ slope² * n_diffs/dx².
+    # (Discrete ∫|∇m|² analogue: scale-invariance under refinement of
+    # the *scaled* functional is what the inverse-distance weight buys.)
+    wx = np.full(6, 100.0)
+    r2 = native._make_roughness((6, 2, 2), [wx, np.ones(2), np.ones(2)])
+    mlin = np.arange(6.0)[:, None, None] * np.ones((1, 2, 2))
+    phi_lin, _ = r2(mlin, (1.0, 0.0, 0.0))
+    # each of the 5*2*2 diffs contributes ½(1/100)² -> 20 * 0.5e-4
+    np.testing.assert_allclose(phi_lin, 20 * 0.5 * (1 / 100.0) ** 2)
+
+
+class _QuadSim:
+    """Stub Simulation: quadratic misfit ½‖m − m*‖² in mapping space.
+
+    Exercises minimize()'s plumbing (blocks, F-order, clean/recompute
+    cycle, smoothness wiring) without any PDE solve.
+    """
+
+    def __init__(self, grid, m_target):
+        self._target = m_target
+        self.model = emg3d.Model(
+            grid, property_x=np.zeros(grid.shape_cells),
+            mapping='LgResistivity')
+
+    def clean(self, what):
+        assert what == 'computed'
+
+    @property
+    def misfit(self):
+        d = np.asarray(self.model.property_x) - self._target
+        return 0.5 * float((d * d).sum())
+
+    @property
+    def gradient(self):
+        return np.asarray(self.model.property_x) - self._target
+
+
+def test_minimize_smoothness_wiring():
+    grid = emg3d.TensorMesh([np.full(6, 100.0)] * 3, origin=(0, 0, 0))
+    rng = np.random.default_rng(3)
+    target = rng.standard_normal(grid.shape_cells)
+
+    res0 = native.minimize(_QuadSim(grid, target), maxiter=60,
+                           method='L-BFGS-B', verb=0, tol=1e-12)
+    m_plain = np.asarray(res0.model.property_x)
+    np.testing.assert_allclose(m_plain, target, atol=1e-4)
+
+    # Strong smoothness pulls the minimizer away from the rough target
+    # and the recovered model must be smoother than the unregularized
+    # one (smaller first-difference energy).
+    res1 = native.minimize(_QuadSim(grid, target), maxiter=60,
+                           method='L-BFGS-B', verb=0, tol=1e-12,
+                           smoothness=1e5)
+    m_smooth = np.asarray(res1.model.property_x)
+
+    def d2(m):
+        return sum(float((np.diff(m, axis=a) ** 2).sum()) for a in range(3))
+
+    assert d2(m_smooth) < 0.2 * d2(m_plain)
+    assert res1.misfit > res0.misfit       # trades data fit for smoothness
+
+    # Per-axis tuple accepted: z-only smoothing leaves x/y roughness.
+    res2 = native.minimize(_QuadSim(grid, target), maxiter=60,
+                           method='L-BFGS-B', verb=0, tol=1e-12,
+                           smoothness=(0.0, 0.0, 1e5))
+    m_z = np.asarray(res2.model.property_x)
+    dz = float((np.diff(m_z, axis=2) ** 2).sum())
+    dx = float((np.diff(m_z, axis=0) ** 2).sum())
+    assert dz < 0.05 * dx
