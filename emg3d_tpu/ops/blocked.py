@@ -40,7 +40,8 @@ from emg3d_tpu.ops.smoothers import (
     _m_coefficients, _phase_solve, phase_colors)
 
 __all__ = ["to_blocks", "from_blocks", "gauss_seidel_phase_blocked",
-           "gauss_seidel_sweep_blocked", "block_operands"]
+           "gauss_seidel_sweep_blocked", "gauss_seidel_blocked",
+           "block_operands"]
 
 
 def __dir__():
@@ -183,6 +184,29 @@ def gauss_seidel_phase_blocked(exb, eyb, ezb, sxb, syb, szb, etaxb,
     ezb = put(ezb, nxx, nyy, t0z, sol[4])
     ezb = put(ezb, nxx, nyy, t1z, sol[5])
     return exb, eyb, ezb
+
+
+def gauss_seidel_blocked(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
+                         zeta, hx, hy, hz, nu):
+    """Drop-in for ``smoothers.gauss_seidel`` on dense arrays.
+
+    The solver-facing entry point (``EMG3D_TPU_SMOOTHER=blocked``):
+    operands and fields are de-interleaved ONCE, all ``nu`` sweeps
+    (8 phases each, alternating order) run on the blocked layout, and
+    only the fields are re-interleaved at the end — the conversion
+    cost (~12 plane-units) is amortized over ``8 * nu`` phases whose
+    gathers/scatters are all contiguous sub-block slices.
+    """
+    shape = (hx.size, hy.size, hz.size)
+    fblocks = tuple(to_blocks(a) for a in (ex, ey, ez))
+    ops = block_operands(sx, sy, sz, eta_x, eta_y, eta_z, zeta)
+    for sweep in range(nu):
+        for c in phase_colors(shape, sweep % 2 == 1):
+            fblocks = gauss_seidel_phase_blocked(
+                *fblocks, *ops, hx, hy, hz, *c)
+    return (from_blocks(fblocks[0], ex.shape),
+            from_blocks(fblocks[1], ey.shape),
+            from_blocks(fblocks[2], ez.shape))
 
 
 def gauss_seidel_sweep_blocked(ex, ey, ez, sx, sy, sz, eta_x, eta_y,

@@ -46,8 +46,12 @@ import jax
 import jax.numpy as jnp
 
 # Point-smoother phase implementation, selected by EMG3D_TPU_SMOOTHER
-# (read at trace time inside gauss_seidel_phase):
+# (read at trace time inside gauss_seidel_phase / gauss_seidel):
 #   'xla'              — jax.numpy phase kernels (default)
+#   'blocked'          — parity-blocked (2x2x2 de-interleaved) storage
+#                        across each nu-sweep smoothing call: every
+#                        phase gather/scatter a contiguous sub-block
+#                        slice (~3x less sweep traffic; ops/blocked.py)
 #   'pallas'           — Mosaic-compiled whole-phase kernel (TPU; v1:
 #                        all arrays VMEM-resident — coarse/mid levels)
 #   'pallas-interpret' — the same kernel in interpret mode (any
@@ -199,7 +203,19 @@ def gauss_seidel(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     The solver jits per sweep (two executables per shape, reused for every
     nu) instead of per (shape, nu) — XLA compile time is superlinear in
     graph size, so smaller reused graphs compile far faster.
+
+    ``EMG3D_TPU_SMOOTHER=blocked`` (read at trace time) reroutes the
+    whole nu-sweep call through the parity-blocked (2x2x2
+    de-interleaved) layout of :mod:`emg3d_tpu.ops.blocked`: one
+    de-interleave, ``8 * nu`` contiguous-slice phases, one
+    re-interleave — the ~3x sweep-traffic cut of
+    docs/pallas-smoother.md.
     """
+    if os.environ.get("EMG3D_TPU_SMOOTHER") == "blocked":
+        from emg3d_tpu.ops import blocked
+        return blocked.gauss_seidel_blocked(
+            ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+            hx, hy, hz, nu)
     fields = (ex, ey, ez)
     for sweep in range(nu):
         fields = gauss_seidel_sweep(
@@ -298,7 +314,10 @@ def gauss_seidel_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     caches key on arguments, not on the environment).
     """
     impl = os.environ.get("EMG3D_TPU_SMOOTHER", "xla")
-    if impl != "xla":
+    if impl not in ("xla", "blocked"):
+        # 'blocked' only pays at sweep/nu granularity (gauss_seidel
+        # de-interleaves once for 8*nu phases); a lone dense-array
+        # phase runs the plain strided kernel.
         from emg3d_tpu.ops import pallas_gs
         interpret = impl == "pallas-interpret"
         if pallas_gs.use_tiled(ex, ey, ez, sx, sy, sz,

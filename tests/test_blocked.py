@@ -66,3 +66,56 @@ def test_sweep_matches_strided(shape, reverse):
     for o, r in zip(out, ref):
         assert_allclose(np.asarray(o), np.asarray(r),
                         rtol=1e-12, atol=1e-12)
+
+
+def test_nu_sweeps_match_strided():
+    """The nu-granularity driver (block once, 8*nu phases, unblock)
+    == nu strided sweeps with alternating order."""
+    (ex, ey, ez), args = _random_setup((7, 6, 9), seed=5)
+    ref = smoothers.gauss_seidel(ex, ey, ez, *args, 3)
+    out = blocked.gauss_seidel_blocked(ex, ey, ez, *args, 3)
+    for o, r in zip(out, ref):
+        assert_allclose(np.asarray(o), np.asarray(r),
+                        rtol=1e-12, atol=1e-12)
+
+
+def test_smoother_env_dispatch(monkeypatch):
+    """EMG3D_TPU_SMOOTHER=blocked reroutes smoothers.gauss_seidel
+    through the blocked layout (same numbers), and a lone
+    gauss_seidel_phase call stays on the strided kernel (no pallas
+    import, identical result)."""
+    (ex, ey, ez), args = _random_setup((6, 8, 10), seed=7)
+    ref = smoothers.gauss_seidel(ex, ey, ez, *args, 2)
+    ref_phase = smoothers.gauss_seidel_phase(ex, ey, ez, *args, 0, 0, 0)
+    monkeypatch.setenv("EMG3D_TPU_SMOOTHER", "blocked")
+    out = smoothers.gauss_seidel(ex, ey, ez, *args, 2)
+    out_phase = smoothers.gauss_seidel_phase(ex, ey, ez, *args, 0, 0, 0)
+    for o, r in zip(out + out_phase, ref + ref_phase):
+        assert_allclose(np.asarray(o), np.asarray(r),
+                        rtol=1e-12, atol=1e-12)
+
+
+def test_solver_dispatch_parity(monkeypatch):
+    """A full multigrid solve with EMG3D_TPU_SMOOTHER=blocked matches
+    the default strided path (same smoother, different layout)."""
+    import jax
+
+    from emg3d_tpu import fields, meshes, models, solver
+
+    grid = meshes.TensorMesh(
+        [np.ones(8) * 200.0, np.ones(8) * 250.0, np.ones(8) * 300.0],
+        origin=(-800.0, -1000.0, -1200.0))
+    model = models.Model(grid, property_x=1.5)
+    sfield = fields.get_source_field(
+        grid, source=(0, 0, 0, 0, 0), frequency=0.9)
+
+    ref = solver.solve(model, sfield, plain=True, maxit=2, verb=-1)
+    monkeypatch.setenv("EMG3D_TPU_SMOOTHER", "blocked")
+    jax.clear_caches()
+    try:
+        out = solver.solve(model, sfield, plain=True, maxit=2, verb=-1)
+    finally:
+        monkeypatch.undo()
+        jax.clear_caches()
+    assert_allclose(np.asarray(out.field), np.asarray(ref.field),
+                    rtol=1e-10, atol=1e-13)
