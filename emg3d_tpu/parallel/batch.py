@@ -211,6 +211,90 @@ class _BatchHierarchies:
 
 
 # --------------------------------------------------------------------------
+# Active-shrink (straggler recompaction).
+#
+# Converged tasks still occupy lanes: the SPMD batch runs matvecs and
+# preconditioner cycles for them in lockstep.  When enough tasks have
+# converged, the batch is recompacted to HALF (quarter, ...) its size —
+# halving bounds the number of distinct batch shapes (and therefore XLA
+# recompiles) to log2(B), and the halved sizes recur across the solves
+# of an inversion loop, so their executables amortize.  Opt-in via
+# EMG3D_TPU_BATCH_SHRINK=1 (default off until hardware profiles price
+# recompile-vs-straggler; read per solve).
+# --------------------------------------------------------------------------
+
+
+def _shrink_on():
+    import os
+    return os.environ.get("EMG3D_TPU_BATCH_SHRINK", "0") == "1"
+
+
+def _shrink_size(ntask, n_active, nd):
+    """Largest halving of ntask holding all active tasks, a multiple
+    of the mesh size nd."""
+    nd = max(int(nd), 1)
+    floor = max(int(n_active), nd, 1)
+    new = int(ntask)
+    while new // 2 >= floor and (new // 2) % nd == 0:
+        new //= 2
+    return new
+
+
+def _keep_lanes(active, new_n):
+    """Lane selection for a shrink: every active lane, padded with
+    already-converged lanes up to new_n (their x stays frozen by the
+    active gating; they only waste the smaller batch's flops)."""
+    act = np.flatnonzero(active)
+    inact = np.flatnonzero(~active)
+    return np.concatenate([act, inact[:new_n - act.size]])
+
+
+def _take_fields(fs, keep, spec):
+    idx = jnp.asarray(keep)
+    out = tuple(jnp.take(c, idx, axis=0) for c in fs)
+    if spec is not None:
+        out = tuple(jax.device_put(c, spec) for c in out)
+    return out
+
+
+def _is_batched_key(k, v):
+    return (k in ("eta_scale", "eta_scale_lo")
+            or (k.startswith("eta_") and v.ndim == 4))
+
+
+def _take_level(arrs, keep, spec):
+    idx = jnp.asarray(keep)
+    out = dict(arrs)
+    for k, v in arrs.items():
+        if _is_batched_key(k, v):
+            t = jnp.take(v, idx, axis=0)
+            if spec is not None:
+                t = jax.device_put(t, spec)
+            out[k] = t
+    return out
+
+
+class _SelectedHierarchies:
+    """Lane-sliced view of a (possibly already sliced) hierarchy cache."""
+
+    def __init__(self, parent, keep, spec):
+        self.parent = parent
+        self.keep = np.asarray(keep)
+        self.spec = spec
+        self.mesh = parent.mesh
+        self.axis = parent.axis
+        self._cache = {}
+
+    def get(self, sc_dir, lr_dir):
+        key = (int(sc_dir), int(lr_dir))
+        if key not in self._cache:
+            meta, levels = self.parent.get(sc_dir, lr_dir)
+            self._cache[key] = (meta, [
+                _take_level(lvl, self.keep, self.spec) for lvl in levels])
+        return self._cache[key]
+
+
+# --------------------------------------------------------------------------
 # Batched MG-preconditioned BiCGSTAB.
 #
 # The reference's production configuration (sslsolver + semicoarsening
@@ -348,7 +432,7 @@ def _bicgstab_batch(s, var, bhier, verb=0, x0=None):
         x = x0
         r = _bxpay(s, -jnp.ones(bnrm.shape, dtype=s[0].dtype),
                    _bamat(x, arrs0))
-        rnorm = np.asarray(_bnorm_dev(r))
+        rnorm = np.array(_bnorm_dev(r))
     rhat = r
     cdtype = s[0].dtype
     ones = jnp.ones(bnrm.shape, dtype=cdtype)
@@ -360,6 +444,19 @@ def _bicgstab_batch(s, var, bhier, verb=0, x0=None):
     if not active.any():
         return x, rnorm, 0, rnorm < atol
 
+    # Lane bookkeeping for active-shrink: ``cur[lane]`` is the original
+    # task index held by device lane ``lane``; dropped (converged)
+    # tasks' solutions are stashed on the host at shrink time.
+    ntask = active.size
+    cur = np.arange(ntask)
+    stash = {}
+    spec = None
+    nd = 1
+    if getattr(bhier, "mesh", None) is not None:
+        nd = bhier.mesh.devices.size
+        spec = NamedSharding(bhier.mesh, PartitionSpec(bhier.axis))
+    shrink = _shrink_on()
+
     it = 0
     for it in range(1, var.ssl_maxit + 1):
         p, rho = _bcg_direction(r, rhat, p, v, rho, alpha, omega,
@@ -368,9 +465,10 @@ def _bicgstab_batch(s, var, bhier, verb=0, x0=None):
         v, alpha, svec = _bcg_alpha(phat, r, rhat, rho, arrs0)
         shat = _bprecond(svec, var, bhier) if var.cycle else svec
         x, r, omega, rnorm_dev = _bcg_advance(
-            shat, phat, svec, x, alpha, jnp.asarray(active), arrs0)
+            shat, phat, svec, x, alpha, jnp.asarray(active[cur]), arrs0)
 
-        rnorm = np.where(active, np.asarray(rnorm_dev), rnorm)
+        rnorm[cur] = np.where(active[cur], np.asarray(rnorm_dev),
+                              rnorm[cur])
         active = active & (rnorm >= atol)
         var.ssl_it += 1
         if verb > 3:
@@ -379,6 +477,38 @@ def _bicgstab_batch(s, var, bhier, verb=0, x0=None):
                   f"({(~active).sum()}/{active.size} converged)")
         if not active.any():
             break
+
+        if shrink:
+            new_n = _shrink_size(cur.size, int(active[cur].sum()), nd)
+            if new_n < cur.size:
+                keep = _keep_lanes(active[cur], new_n)
+                drop = np.setdiff1d(np.arange(cur.size), keep)
+                xh = [np.asarray(c) for c in x]
+                for lane in drop:
+                    stash[int(cur[lane])] = tuple(c[lane] for c in xh)
+                x, r, rhat, v, p = (
+                    _take_fields(f, keep, spec)
+                    for f in (x, r, rhat, v, p))
+                kidx = jnp.asarray(keep)
+                rho, alpha, omega = (jnp.take(c, kidx, axis=0)
+                                     for c in (rho, alpha, omega))
+                bhier = _SelectedHierarchies(bhier, keep, spec)
+                arrs0 = _take_level(arrs0, keep, spec)
+                cur = cur[keep]
+                if verb > 3:
+                    print(f"   ssl it {it:3}: batch shrunk to "
+                          f"{cur.size}/{ntask} lanes")
+
+    if cur.size != ntask:
+        xh = [np.asarray(c) for c in x]
+        full = [np.zeros((ntask,) + c.shape[1:], c.dtype) for c in xh]
+        for lane, oi in enumerate(cur):
+            for j in range(3):
+                full[j][oi] = xh[j][lane]
+        for oi, triple in stash.items():
+            for j in range(3):
+                full[j][oi] = triple[j]
+        x = tuple(full)
 
     return x, rnorm, it, rnorm < atol
 

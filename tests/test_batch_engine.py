@@ -260,3 +260,64 @@ def test_bcg_advance_freezes_converged_lane():
         # Lane 1 (active): really updated.
         assert np.isfinite(np.asarray(c_new[1])).all()
         assert not np.allclose(np.asarray(c_new[1]), np.asarray(c_old[1]))
+
+
+def test_shrink_size_and_keep_lanes():
+    """Halving recompaction: largest power-of-two cut that holds every
+    active task and stays a multiple of the mesh size."""
+    # 16 lanes, 3 active, 4 devices -> 4 lanes (not 3: mesh multiple).
+    assert batch._shrink_size(16, 3, 4) == 4
+    # 16 lanes, 5 active, 4 devices -> 8 (4 < 5 active).
+    assert batch._shrink_size(16, 5, 4) == 8
+    # No halving possible.
+    assert batch._shrink_size(4, 3, 1) == 4
+    assert batch._shrink_size(4, 4, 4) == 4
+    # Single device: shrink to the active count's power-of-two cover.
+    assert batch._shrink_size(8, 1, 1) == 1
+    # Odd batch (unpadded single-device run): 6 -> 3 (3 active).
+    assert batch._shrink_size(6, 3, 1) == 3
+
+    keep = batch._keep_lanes(np.array([False, True, False, True]), 2)
+    assert sorted(keep.tolist()) == [1, 3]
+    keep = batch._keep_lanes(
+        np.array([False, True, False, False, True, False]), 3)
+    assert keep.tolist()[:2] == [1, 4] and keep.size == 3
+
+
+def test_bicgstab_shrink_parity(monkeypatch, capsys):
+    """EMG3D_TPU_BATCH_SHRINK=1 recompacts converged-heavy batches and
+    returns the same fields as the full-width run.
+
+    Two of four tasks are zero-source (born converged), so the first
+    iteration triggers a 4 -> 2 shrink on a 2-device mesh; lanes are
+    algebraically independent, so the surviving lanes' iterates match
+    the unshrunk run to f64 rounding.
+    """
+    from emg3d_tpu import fields, meshes, models
+
+    h = np.ones(8) * 200.0
+    grid = meshes.TensorMesh([h, h, h], origin=(-800.0, -800.0, -800.0))
+    model = models.Model(grid, property_x=1.0)
+
+    srcs = [(-200, 0, 0, 0, 0), (200, 0, 0, 0, 0),
+            (0, -200, 0, 0, 0), (0, 200, 0, 0, 0)]
+    sfields = [fields.get_source_field(grid, s, frequency=1.0)
+               for s in srcs]
+    for i in (2, 3):
+        sfields[i].field *= 0.0
+
+    mesh = batch.make_task_mesh(2)
+    kw = dict(sslsolver=True, cycle='F', tol=1e-7, maxit=1,
+              nu_init=0, nu_pre=2, nu_coarse=1, nu_post=2)
+
+    ref, _ = batch.solve_batch_fields(model, sfields, mesh=mesh, **kw)
+
+    monkeypatch.setenv("EMG3D_TPU_BATCH_SHRINK", "1")
+    out, info = batch.solve_batch_fields(model, sfields, mesh=mesh,
+                                         verb=4, **kw)
+    assert "batch shrunk to 2/4 lanes" in capsys.readouterr().out
+
+    for o, r in zip(out, ref):
+        assert_allclose(o.field, r.field, rtol=1e-10, atol=1e-30)
+    # The zero-source lanes stay exactly zero through stash/scatter.
+    assert np.all(out[2].field == 0) and np.all(out[3].field == 0)
