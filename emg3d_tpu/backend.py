@@ -62,8 +62,9 @@ import warnings
 import numpy as np
 
 __all__ = [
-    "is_transient", "probe", "wait_healthy", "retry_transient",
-    "reexec_if_born_bad", "enable_compilation_cache", "HealthError",
+    "is_transient", "probe", "probe_timed", "wait_healthy",
+    "retry_transient", "reexec_if_born_bad",
+    "enable_compilation_cache", "HealthError",
 ]
 
 # Set to True by the first successful probe: distinguishes a service
@@ -113,6 +114,26 @@ def probe():
         return False
 
 
+def probe_timed(timeout_s=120.0):
+    """:func:`probe` with a hard wall-clock bound.
+
+    A bad channel can HANG a device RPC indefinitely rather than fail
+    it (observed on the axon tunnel: the D2H literal read in probe()
+    blocking > 15 min).  The probe runs in a daemon thread; if it does
+    not return within ``timeout_s`` the channel is reported unhealthy.
+    The hung thread is abandoned — callers react by re-executing or
+    falling back, so nothing waits on it.
+    """
+    import threading
+
+    result = []
+    t = threading.Thread(target=lambda: result.append(probe()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(result and result[0])
+
+
 def _max_wait():
     return float(os.environ.get("EMG3D_TPU_MAX_WAIT", "2700"))
 
@@ -133,7 +154,9 @@ def wait_healthy(what="device step", budget=None):
     warned = False
     fails = 0
     while True:
-        if probe():
+        # Time-bounded: a bad channel can hang an RPC, not just fail
+        # it — an unbounded probe would block the whole wait loop.
+        if probe_timed(max(3 * interval, 60.0)):
             waited = time.monotonic() - t0
             if warned:
                 warnings.warn(
@@ -214,7 +237,11 @@ def reexec_if_born_bad(argv=None, sleep=None):
         except subprocess.TimeoutExpired:
             return False
 
-    if _probe_child() and probe():
+    # The child's verdict is a cheap hang-guard; the process's OWN
+    # channel must still be probed (child and parent roll independent
+    # connections), time-bounded because a bad channel can hang rather
+    # than fail (probe_timed).
+    if _probe_child() and probe_timed():
         # Healthy: clear the rebirth bookkeeping so this process's
         # children (and any much-later call here) don't inherit a stale
         # start time — a stale T0 plus a budget would otherwise raise

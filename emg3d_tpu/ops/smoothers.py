@@ -47,7 +47,8 @@ import jax.numpy as jnp
 
 # Point-smoother phase implementation, selected by EMG3D_TPU_SMOOTHER
 # (read at trace time inside gauss_seidel_phase / gauss_seidel):
-#   'xla'              — jax.numpy phase kernels (default)
+#   'auto' (default)   — 'blocked' on the CPU backend, 'xla' elsewhere
+#   'xla'              — strided jax.numpy phase kernels
 #   'blocked'          — parity-blocked (2x2x2 de-interleaved) storage
 #                        across each nu-sweep smoothing call: every
 #                        phase gather/scatter a contiguous sub-block
@@ -209,9 +210,18 @@ def gauss_seidel(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     de-interleaved) layout of :mod:`emg3d_tpu.ops.blocked`: one
     de-interleave, ``8 * nu`` contiguous-slice phases, one
     re-interleave — the ~3x sweep-traffic cut of
-    docs/pallas-smoother.md.
+    docs/pallas-smoother.md.  Unset ('auto'), the blocked layout is
+    the DEFAULT on the CPU backend (measured 1.4x faster warm sweeps
+    at 64^3 and 1.5x faster end-to-end solves at 48^3 than the
+    strided phases); other backends keep the strided kernels until
+    the hardware measurement pass (tools/tpu_profile.py) decides —
+    stride-2 gathers on the TPU lane dimension are an open lowering
+    question.
     """
-    if os.environ.get("EMG3D_TPU_SMOOTHER") == "blocked":
+    impl = os.environ.get("EMG3D_TPU_SMOOTHER", "auto")
+    if impl == "auto":
+        impl = "blocked" if jax.default_backend() == "cpu" else "xla"
+    if impl == "blocked":
         from emg3d_tpu.ops import blocked
         return blocked.gauss_seidel_blocked(
             ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
@@ -313,8 +323,8 @@ def gauss_seidel_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     it after an executable is cached needs ``jax.clear_caches()`` (jit
     caches key on arguments, not on the environment).
     """
-    impl = os.environ.get("EMG3D_TPU_SMOOTHER", "xla")
-    if impl not in ("xla", "blocked"):
+    impl = os.environ.get("EMG3D_TPU_SMOOTHER", "auto")
+    if impl not in ("xla", "blocked", "auto"):
         # 'blocked' only pays at sweep/nu granularity (gauss_seidel
         # de-interleaves once for 8*nu phases); a lone dense-array
         # phase runs the plain strided kernel.

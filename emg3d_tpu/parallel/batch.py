@@ -715,33 +715,70 @@ def solve_batch_fields(model, sfields, mesh=None, axis="task", verb=0,
         e_hi = (x0 if x0 is not None
                 else tuple(jnp.zeros_like(c) for c in s))
         e_lo = tuple(jnp.zeros_like(c) for c in s)
+        dt = sfields[0].field.dtype
+
+        # Active-shrink bookkeeping (see _shrink_size): ``cur[lane]``
+        # is the original task index on device lane ``lane``;
+        # recompacted-away (finished) tasks' combined fields and exit
+        # messages are stashed on the host.
+        cur = np.arange(ntask)
+        stash = {}
+        l2_full = np.zeros(ntask)
+        exit_full = ["MAX. ITERATION REACHED, NOT CONVERGED"] * ntask
+        shrink = _shrink_on()
+        spec = None
+        nd = 1
+        if mesh is not None:
+            nd = mesh.devices.size
+            spec = NamedSharding(mesh, PartitionSpec(axis))
 
         it = 0
         first = True
-        exit_messages = ["MAX. ITERATION REACHED, NOT CONVERGED"] * ntask
         while True:
             meta, arrays = bhier.get(var.sc_dir, var.lr_dir)
             r, l2_dev = _bresidual_norm_split(e_hi, e_lo, s, arrays[0])
             l2 = np.asarray(l2_dev)
+            l2_full[cur] = l2
 
-            rel = l2 / l2_refe
+            rel = l2 / l2_refe[cur]
             done = rel < var.tol
-            diverged = ~np.isfinite(l2) | (l2 > 10 * l2_refe)
+            diverged = ~np.isfinite(l2) | (l2 > 10 * l2_refe[cur])
             if verb > 3 and it > 0:
                 print(f"   cycle {it:3}: max rel error {rel.max():.3e} "
-                      f"({done.sum()}/{ntask} converged)")
-            if np.all(done):
-                exit_messages = ["CONVERGED"] * ntask
+                      f"({done.sum() + len(stash)}/{ntask} converged)")
+            finished = done | diverged
+            if np.all(finished) or it >= var.maxit:
+                for lane, oi in enumerate(cur):
+                    exit_full[oi] = (
+                        "CONVERGED" if done[lane] else
+                        "DIVERGED" if diverged[lane] else
+                        "MAX. ITERATION REACHED, NOT CONVERGED")
                 break
-            if np.all(done | diverged):
-                exit_messages = ["CONVERGED" if d else "DIVERGED"
-                                 for d in done]
-                break
-            if it >= var.maxit:
-                exit_messages = ["CONVERGED" if d else
-                                 "MAX. ITERATION REACHED, NOT CONVERGED"
-                                 for d in done]
-                break
+
+            if shrink:
+                new_n = _shrink_size(cur.size, int((~finished).sum()),
+                                     nd)
+                if new_n < cur.size:
+                    keep = _keep_lanes(~finished, new_n)
+                    drop = np.setdiff1d(np.arange(cur.size), keep)
+                    eh = [np.asarray(c) for c in e_hi]
+                    el = [np.asarray(c) for c in e_lo]
+                    for lane in drop:
+                        stash[int(cur[lane])] = tuple(
+                            np.asarray(h[lane], dtype=dt)
+                            + np.asarray(l[lane], dtype=dt)
+                            for h, l in zip(eh, el))
+                        exit_full[int(cur[lane])] = (
+                            "CONVERGED" if done[lane] else "DIVERGED")
+                    e_hi, e_lo, s, r = (
+                        _take_fields(f, keep, spec)
+                        for f in (e_hi, e_lo, s, r))
+                    bhier = _SelectedHierarchies(bhier, keep, spec)
+                    meta, arrays = bhier.get(var.sc_dir, var.lr_dir)
+                    cur = cur[keep]
+                    if verb > 3:
+                        print(f"   cycle {it:3}: batch shrunk to "
+                              f"{cur.size}/{ntask} lanes")
 
             sc_next = (next(var.sc_cycle) if var.sc_cycle
                        else var.sc_dir)
@@ -754,12 +791,22 @@ def solve_batch_fields(model, sfields, mesh=None, axis="task", verb=0,
             it += 1
 
         it_mg, it_ssl = it, 0
+        l2, exit_messages = l2_full, exit_full
         # Combine the split field in the host dtype so the algebraic
         # accuracy survives the export.
-        dt = sfields[0].field.dtype
         parts = tuple(
             np.asarray(h, dtype=dt) + np.asarray(l, dtype=dt)
             for h, l in zip(e_hi, e_lo))
+        if cur.size != ntask:
+            full = [np.zeros((ntask,) + c.shape[1:], c.dtype)
+                    for c in parts]
+            for lane, oi in enumerate(cur):
+                for j in range(3):
+                    full[j][oi] = parts[j][lane]
+            for oi, triple in stash.items():
+                for j in range(3):
+                    full[j][oi] = triple[j]
+            parts = tuple(full)
 
     # Unstack into Fields (drop padding).
     efields = []

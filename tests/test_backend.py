@@ -158,3 +158,22 @@ def test_compilation_cache_stays_off_on_cpu():
     assert jax.default_backend() == 'cpu'
     assert backend.enable_compilation_cache() is False
     assert jax.config.jax_compilation_cache_dir is None
+
+
+def test_probe_timed_hang_is_unhealthy(monkeypatch):
+    """A probe that HANGS (bad channels can block D2H reads
+    indefinitely, not just fail them) must report unhealthy within the
+    wall-clock bound instead of blocking the caller forever."""
+    import time as _time
+
+    def hung_probe():
+        _time.sleep(60)
+        return True
+
+    monkeypatch.setattr(backend, "probe", hung_probe)
+    t0 = _time.monotonic()
+    assert backend.probe_timed(0.2) is False
+    assert _time.monotonic() - t0 < 5
+
+    monkeypatch.setattr(backend, "probe", lambda: True)
+    assert backend.probe_timed(5.0) is True

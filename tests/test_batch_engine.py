@@ -321,3 +321,39 @@ def test_bicgstab_shrink_parity(monkeypatch, capsys):
         assert_allclose(o.field, r.field, rtol=1e-10, atol=1e-30)
     # The zero-source lanes stay exactly zero through stash/scatter.
     assert np.all(out[2].field == 0) and np.all(out[3].field == 0)
+
+
+def test_mg_shrink_parity(monkeypatch, capsys):
+    """The plain-MG batched driver also recompacts finished lanes:
+    zero-source (born-converged) tasks are dropped before the first
+    cycle, and the surviving lanes' fields match the full-width run."""
+    from emg3d_tpu import fields, meshes, models
+
+    h = np.ones(8) * 200.0
+    grid = meshes.TensorMesh([h, h, h], origin=(-800.0, -800.0, -800.0))
+    model = models.Model(grid, property_x=1.0)
+
+    srcs = [(-200, 0, 0, 0, 0), (200, 0, 0, 0, 0),
+            (0, -200, 0, 0, 0), (0, 200, 0, 0, 0)]
+    sfields = [fields.get_source_field(grid, s, frequency=1.0)
+               for s in srcs]
+    for i in (2, 3):
+        sfields[i].field *= 0.0
+
+    mesh = batch.make_task_mesh(2)
+    kw = dict(cycle='F', tol=1e-7, maxit=10,
+              nu_init=0, nu_pre=2, nu_coarse=1, nu_post=2)
+
+    ref, rinfo = batch.solve_batch_fields(model, sfields, mesh=mesh, **kw)
+
+    monkeypatch.setenv("EMG3D_TPU_BATCH_SHRINK", "1")
+    out, info = batch.solve_batch_fields(model, sfields, mesh=mesh,
+                                         verb=4, **kw)
+    assert "batch shrunk to 2/4 lanes" in capsys.readouterr().out
+
+    for o, r in zip(out, ref):
+        assert_allclose(o.field, r.field, rtol=1e-10, atol=1e-30)
+    assert np.all(out[2].field == 0) and np.all(out[3].field == 0)
+    assert info["exit_messages"] == rinfo["exit_messages"]
+    assert_allclose(info["rel_error"][:2], rinfo["rel_error"][:2],
+                    rtol=1e-8)

@@ -193,6 +193,27 @@ def main():
                  cells_per_s=round(n ** 3 / 8 / t),
                  **bw_fields(t, 25, n))
 
+            # Whole-smooth (nu=2) granularity: strided phases vs the
+            # parity-blocked (2x2x2 de-interleaved) layout — decides
+            # the TPU default of EMG3D_TPU_SMOOTHER ('blocked' wins
+            # 1.4-1.5x on CPU; stride-2 lane gathers may lower badly
+            # on TPU).  Conversion cost is included (it amortizes
+            # over the 16 phases of the call).
+            for impl in ("xla", "blocked"):
+                os.environ["EMG3D_TPU_SMOOTHER"] = impl
+                jax.clear_caches()
+                sw = jax.jit(lambda e_, s_: smoothers.gauss_seidel(
+                    *e_, *s_, arrs["eta_x"], arrs["eta_y"],
+                    arrs["eta_z"], arrs["zeta"], arrs["hx"],
+                    arrs["hy"], arrs["hz"], 2))
+                t = timed(sw, e, s, n=5)
+                emit(metric=f"gs_smooth_nu2_{impl}_s", size=n, value=t,
+                     cells_per_s=round(2 * n ** 3 / t),
+                     **bw_fields(t, 2 * 25 if impl == "xla" else 12 + 16,
+                                 n))
+            os.environ.pop("EMG3D_TPU_SMOOTHER", None)
+            jax.clear_caches()
+
             for solver_kind in ("thomas", "pcr"):
                 os.environ["EMG3D_TPU_LINE_SOLVER"] = solver_kind
                 jax.clear_caches()
@@ -256,31 +277,40 @@ def main():
             model = models.Model(grid, property_x=1.0)
             sfield = fields.get_source_field(
                 grid, source=(0., 0., 0., 0., 0.), frequency=1.0)
-            t0 = time.perf_counter()
-            efield, info = solver.solve(
-                model, sfield, plain=True, cycle='F', tol=1e-6,
-                maxit=50, return_info=True, verb=0)
-            cold = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            efield, info = solver.solve(
-                model, sfield, plain=True, cycle='F', tol=1e-6,
-                maxit=50, return_info=True, verb=0)
-            warm = time.perf_counter() - t0
-            try:
-                stats = jax.local_devices()[0].memory_stats() or {}
-                peak = stats.get("peak_bytes_in_use")
-            except Exception:
-                peak = None
-            # Approximate per-cycle traffic: (nu_pre+nu_post)=4 sweeps
-            # x 8 phases x 25 planes + residual 38 + transfers ~50,
-            # times the 8/7 level-ladder factor ~= 1015 plane units.
-            bw = bw_fields(warm, 1015 * max(info["it_mg"], 1), n)
-            emit(metric="solve_plain_F", size=n, cold_s=round(cold, 3),
-                 warm_s=round(warm, 3), it_mg=info["it_mg"],
-                 cells_per_s=round(n ** 3 / warm),
-                 rel_error=float(info["rel_error"]),
-                 exit=info["exit_message"],
-                 peak_hbm_bytes=peak, **bw)
+            # Both smoother layouts end-to-end (the kernel-level
+            # comparison above can hide dispatch/fusion effects).
+            for impl in ("xla", "blocked"):
+                os.environ["EMG3D_TPU_SMOOTHER"] = impl
+                jax.clear_caches()
+                t0 = time.perf_counter()
+                efield, info = solver.solve(
+                    model, sfield, plain=True, cycle='F', tol=1e-6,
+                    maxit=50, return_info=True, verb=0)
+                cold = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                efield, info = solver.solve(
+                    model, sfield, plain=True, cycle='F', tol=1e-6,
+                    maxit=50, return_info=True, verb=0)
+                warm = time.perf_counter() - t0
+                try:
+                    stats = jax.local_devices()[0].memory_stats() or {}
+                    peak = stats.get("peak_bytes_in_use")
+                except Exception:
+                    peak = None
+                # Approximate per-cycle traffic: (nu_pre+nu_post)=4
+                # sweeps x 8 phases x 25 planes + residual 38 +
+                # transfers ~50, times the 8/7 level-ladder factor
+                # ~= 1015 plane units (strided-layout model).
+                bw = bw_fields(warm, 1015 * max(info["it_mg"], 1), n)
+                tag = "" if impl == "xla" else "_blocked"
+                emit(metric=f"solve_plain_F{tag}", size=n,
+                     cold_s=round(cold, 3), warm_s=round(warm, 3),
+                     it_mg=info["it_mg"],
+                     cells_per_s=round(n ** 3 / warm),
+                     rel_error=float(info["rel_error"]),
+                     exit=info["exit_message"],
+                     peak_hbm_bytes=peak, **bw)
+            os.environ.pop("EMG3D_TPU_SMOOTHER", None)
         except Exception as exc:
             emit(metric="solve_error", size=n, error=str(exc)[:200])
 
