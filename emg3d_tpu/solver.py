@@ -10,9 +10,9 @@ Rebuild of the reference's emg3d/solver.py on JAX/XLA:
 - The outer iteration (termination on tolerance / divergence / stagnation,
   reference solver.py:1591-1664) is host-driven: one device sync per
   cycle for the residual norm; cycle functions are cached and reused.
-- The MG-preconditioned Krylov solver (BiCGSTAB, reference
-  solver.py:652-784) is implemented natively with device-side linear
-  algebra; 'cgs' and 'gcrotmk' fall back to scipy with device matvecs.
+- The MG-preconditioned Krylov solvers (reference solver.py:652-784)
+  are all native with device-side linear algebra: BiCGSTAB, CGS, and
+  recycled-subspace GCROT(m,k) — no scipy in the solve path.
 
 The smoothers use red-black orderings (see emg3d_tpu.ops.smoothers);
 convergence parity with the reference is therefore measured in
