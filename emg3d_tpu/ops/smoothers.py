@@ -61,7 +61,7 @@ import jax.numpy as jnp
 __all__ = ["gauss_seidel", "gauss_seidel_sweep", "gauss_seidel_phase",
            "gauss_seidel_line", "gauss_seidel_line_sweep",
            "gauss_seidel_line_phase", "phase_colors", "line_phase_colors",
-           "solve_banded_5x5"]
+           "solve_banded_5x5", "resolve_impl"]
 
 
 # -------------------------------------------------------------------------
@@ -218,9 +218,7 @@ def gauss_seidel(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     stride-2 gathers on the TPU lane dimension are an open lowering
     question.
     """
-    impl = os.environ.get("EMG3D_TPU_SMOOTHER", "auto")
-    if impl == "auto":
-        impl = "blocked" if jax.default_backend() == "cpu" else "xla"
+    impl = resolve_impl()
     if impl == "blocked":
         from emg3d_tpu.ops import blocked
         return blocked.gauss_seidel_blocked(
@@ -601,75 +599,67 @@ def _line_relax_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     return fields
 
 
-def _line_relax_x_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
-                        zeta, hx, hy, hz, py, pz):
-    """Relax the x-lines at interior (y, z) nodes of parity (py, pz).
+def _line_x_system(gf, xc, py, pz, cdtype):
+    """Assemble the block-tridiagonal x-line systems of one phase.
 
-    Builds the block-tridiagonal line systems (5x5 ``middle``/``left``
-    blocks, reference core.py:680-721) directly on the phase block
-    (composed strided slices), then solves all lines of the color with
-    one batched block-Thomas elimination.
+    Layout-agnostic core shared by the strided-slice phase
+    (:func:`_line_relax_x_phase`) and the parity-blocked phase
+    (:mod:`emg3d_tpu.ops.blocked`): the caller provides the gathers,
+    this function provides the physics (reference core.py:680-766).
+
+    ``gf(name, pat, ty, tz)`` gathers operand ``name`` (ex/ey/ez,
+    sx/sy/sz, eta_x/eta_y/eta_z, zeta) as an (X, ncy, ncz) array:
+    x pattern ``pat`` is ``'a'`` (x index = the group index g) or
+    ``'b'`` (x index = min(g+1, nx-1)); (ty, tz) are the DENSE start
+    indices of the stride-2 transverse windows (lengths fixed by the
+    phase).  ``xc`` carries the broadcast width coefficients: columns
+    kxa/kxb/ihxa/ihxb of shape (X, 1, 1) and transverse rows
+    kym/kyp/kzm/kzp/ihym/ihyp/ihzm/ihzp.
+
+    Returns ``(mid, left, rhs)`` — the 5x5 diagonal/sub-diagonal block
+    stacks and the rhs, WITHOUT the last-group fix (the caller applies
+    :func:`_line_last_group_fix` to whichever stack holds the global
+    last group).  Unknown order per group g: [ex(g), ey-, ey+, ez-,
+    ez+] at node g+1.
     """
-    nx, ny, nz = hx.size, hy.size, hz.size
-    cdtype = ex.dtype
+    kxa, kxb = xc["kxa"], xc["kxb"]
+    ihxa, ihxb = xc["ihxa"], xc["ihxb"]
+    kym, kyp, kzm, kzp = xc["kym"], xc["kyp"], xc["kzm"], xc["kzp"]
+    ihym, ihyp = xc["ihym"], xc["ihyp"]
+    ihzm, ihzp = xc["ihzm"], xc["ihzp"]
 
-    kx, ky, kz = 0.5 / hx, 0.5 / hy, 0.5 / hz
-    ihx, ihy, ihz = 1.0 / hx, 1.0 / hy, 1.0 / hz
+    # Dense start indices of the phase windows: cell-type (m/p) and
+    # node-type (ycN/ypN/ymN — same starts serve ymC/ypC/zmC/zpC).
+    ym, yp, zm, zp = py, 1 + py, pz, 1 + pz
+    ycN, ypN, ymN = 1 + py, 2 + py, py
+    zcN, zpN, zmN = 1 + pz, 2 + pz, pz
 
-    def csl(o, n, p):   # cell-type slice at the phase nodes: o in {0, 1}.
-        return slice(o + p, n - 1 + o, 2)
-
-    ym, yp = csl(0, ny, py), csl(1, ny, py)
-    zm, zp = csl(0, nz, pz), csl(1, nz, pz)
-
-    # x-gathers: a = g (the group index, 0..nx-1), b = min(g+1, nx-1).
-    idx_b = jnp.minimum(jnp.arange(nx) + 1, nx - 1)
-    hx_b = hx[idx_b]
-    kxa = kx[:, None, None]
-    kxb = (0.5 / hx_b)[:, None, None]
-    ihxa = ihx[:, None, None]
-    ihxb = (1.0 / hx_b)[:, None, None]
-    kym = ky[ym][None, :, None]
-    kyp = ky[yp][None, :, None]
-    kzm = kz[zm][None, None, :]
-    kzp = kz[zp][None, None, :]
-    pihym = ihy[ym][None, :, None]
-    pihyp = ihy[yp][None, :, None]
-    pihzm = ihz[zm][None, None, :]
-    pihzp = ihz[zp][None, None, :]
-    ihym, ihyp, ihzm, ihzp = pihym, pihyp, pihzm, pihzp
-
-    zeta_b = zeta[idx_b]
     z = {}
-    for xk, zz in (("a", zeta), ("b", zeta_b)):
-        z[xk + "mm"] = zz[:, ym, zm]
-        z[xk + "mp"] = zz[:, ym, zp]
-        z[xk + "pm"] = zz[:, yp, zm]
-        z[xk + "pp"] = zz[:, yp, zp]
+    for xk in ("a", "b"):
+        z[xk + "mm"] = gf("zeta", xk, ym, zm)
+        z[xk + "mp"] = gf("zeta", xk, ym, zp)
+        z[xk + "pm"] = gf("zeta", xk, yp, zm)
+        z[xk + "pp"] = gf("zeta", xk, yp, zp)
     m = _m_coefficients(z, kxa, kxb, kym, kyp, kzm, kzp)
 
-    eta_y_b = eta_y[idx_b]
-    eta_z_b = eta_z[idx_b]
+    st0 = (gf("eta_x", "a", ym, zm) + gf("eta_x", "a", yp, zm)
+           + gf("eta_x", "a", ym, zp) + gf("eta_x", "a", yp, zp)) / 4.0
+    st2 = (gf("eta_y", "b", ym, zm) + gf("eta_y", "b", ym, zp)
+           + gf("eta_y", "a", ym, zm) + gf("eta_y", "a", ym, zp)) / 4.0
+    st3 = (gf("eta_y", "b", yp, zm) + gf("eta_y", "b", yp, zp)
+           + gf("eta_y", "a", yp, zm) + gf("eta_y", "a", yp, zp)) / 4.0
+    st4 = (gf("eta_z", "b", yp, zm) + gf("eta_z", "b", ym, zm)
+           + gf("eta_z", "a", yp, zm) + gf("eta_z", "a", ym, zm)) / 4.0
+    st5 = (gf("eta_z", "b", yp, zp) + gf("eta_z", "b", ym, zp)
+           + gf("eta_z", "a", yp, zp) + gf("eta_z", "a", ym, zp)) / 4.0
 
-    st0 = (eta_x[:, ym, zm] + eta_x[:, yp, zm]
-           + eta_x[:, ym, zp] + eta_x[:, yp, zp]) / 4.0
-    st2 = (eta_y_b[:, ym, zm] + eta_y_b[:, ym, zp]
-           + eta_y[:, ym, zm] + eta_y[:, ym, zp]) / 4.0
-    st3 = (eta_y_b[:, yp, zm] + eta_y_b[:, yp, zp]
-           + eta_y[:, yp, zm] + eta_y[:, yp, zp]) / 4.0
-    st4 = (eta_z_b[:, yp, zm] + eta_z_b[:, ym, zm]
-           + eta_z[:, yp, zm] + eta_z[:, ym, zm]) / 4.0
-    st5 = (eta_z_b[:, yp, zp] + eta_z_b[:, ym, zp]
-           + eta_z[:, yp, zp] + eta_z[:, ym, zp]) / 4.0
-
-    blk = (nx, st0.shape[1], st0.shape[2])
+    blk = jnp.broadcast_shapes(st0.shape, m["zyRxm"].shape)
     zero = jnp.zeros(blk, dtype=cdtype)
 
     def bc(v):
         return jnp.broadcast_to(v, blk).astype(cdtype)
 
-    # Diagonal 5x5 block ``middle`` (core.py:680-711); unknown order
-    # [ex(g), ey-, ey+, ez-, ez+] at node g+1.
+    # Diagonal 5x5 block ``middle`` (core.py:680-711).
     m00 = bc(-st0 + m["zyRxm"] * ihyp + m["zyLxm"] * ihym
              + m["yzRxm"] * ihzp + m["yzLxm"] * ihzm)
     m11 = bc(-st2 + m["zxRym"] * ihxb + m["zxLym"] * ihxa
@@ -717,87 +707,120 @@ def _line_relax_x_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
         jnp.stack([zero, zero, zero, zero, l44], axis=-1),
     ], axis=-2)
 
-    # Last group (g = nx-1) holds only the ex unknown: identity-pad the
-    # other four and keep only row 0 of ``left`` (core.py:1467-1477).
+    # Off-line couplings moved to the rhs (core.py:723-766).
+    r0 = (gf("sx", "a", ycN, zcN)
+          + m["zyRxm"] * gf("ex", "a", ypN, zcN) * ihyp
+          + m["zyLxm"] * gf("ex", "a", ymN, zcN) * ihym
+          + m["yzRxm"] * gf("ex", "a", ycN, zpN) * ihzp
+          + m["yzLxm"] * gf("ex", "a", ycN, zmN) * ihzm)
+
+    r1 = (gf("sy", "b", ym, zcN)
+          + (m["zxRym"] * gf("ex", "b", ymN, zcN)
+             - m["zxLym"] * gf("ex", "a", ymN, zcN)
+             + m["xzRym"] * gf("ez", "b", ymN, zp)
+             - m["xzLym"] * gf("ez", "b", ymN, zm)) * ihym
+          + m["xzRym"] * gf("ey", "b", ym, zpN) * ihzp
+          + m["xzLym"] * gf("ey", "b", ym, zmN) * ihzm)
+
+    r2 = (gf("sy", "b", yp, zcN)
+          + (m["zxLyp"] * gf("ex", "a", ypN, zcN)
+             - m["zxRyp"] * gf("ex", "b", ypN, zcN)
+             + m["xzLyp"] * gf("ez", "b", ypN, zm)
+             - m["xzRyp"] * gf("ez", "b", ypN, zp)) * ihyp
+          + m["xzRyp"] * gf("ey", "b", yp, zpN) * ihzp
+          + m["xzLyp"] * gf("ey", "b", yp, zmN) * ihzm)
+
+    r3 = (gf("sz", "b", ycN, zm)
+          + (m["yxRzm"] * gf("ex", "b", ycN, zmN)
+             - m["yxLzm"] * gf("ex", "a", ycN, zmN)
+             + m["xyRzm"] * gf("ey", "b", yp, zmN)
+             - m["xyLzm"] * gf("ey", "b", ym, zmN)) * ihzm
+          + m["xyRzm"] * gf("ez", "b", ypN, zm) * ihyp
+          + m["xyLzm"] * gf("ez", "b", ymN, zm) * ihym)
+
+    r4 = (gf("sz", "b", ycN, zp)
+          + (m["yxLzp"] * gf("ex", "a", ycN, zpN)
+             - m["yxRzp"] * gf("ex", "b", ycN, zpN)
+             + m["xyLzp"] * gf("ey", "b", ym, zpN)
+             - m["xyRzp"] * gf("ey", "b", yp, zpN)) * ihzp
+          + m["xyRzp"] * gf("ez", "b", ypN, zp) * ihyp
+          + m["xyLzp"] * gf("ez", "b", ymN, zp) * ihym)
+
+    rhs = jnp.stack([bc(r0), bc(r1), bc(r2), bc(r3), bc(r4)], axis=-1)
+    return mid, left, rhs
+
+
+def _line_last_group_fix(mid, left, rhs):
+    """Apply the last-x-group reduction (reference core.py:1467-1477).
+
+    The last group (g = nx-1) holds only the ex unknown: identity-pad
+    the other four rows of its diagonal block, keep only row 0 of its
+    ``left`` coupling, and zero the non-ex rhs entries.
+    """
+    cdtype = mid.dtype
     eye_pad = jnp.eye(5, dtype=cdtype).at[0, 0].set(0.0)
     last_mid = (jnp.zeros((5, 5), dtype=cdtype).at[0, 0].set(1.0)
-                * m00[-1][..., None, None] + eye_pad)
+                * mid[-1, ..., 0, 0][..., None, None] + eye_pad)
     mid = mid.at[-1].set(last_mid)
     left = left.at[-1, :, :, 1:, :].set(0.0)
+    rhs = rhs.at[-1, :, :, 1:].set(0.0)
+    return mid, left, rhs
 
-    # Off-line couplings use the m coefficients too.
-    mp = {k: bc(v) for k, v in m.items()}
-    mid_p = mid
-    left_p = left
 
-    # Transverse slices (strided interior nodes / their cells).
+def _line_relax_x_phase(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
+                        zeta, hx, hy, hz, py, pz):
+    """Relax the x-lines at interior (y, z) nodes of parity (py, pz).
+
+    Builds the block-tridiagonal line systems (5x5 ``middle``/``left``
+    blocks, reference core.py:680-721) directly on the phase block
+    (composed strided slices via :func:`_line_x_system`), then solves
+    all lines of the color with one batched block-Thomas elimination.
+    """
+    nx, ny, nz = hx.size, hy.size, hz.size
+    cdtype = ex.dtype
+    ncy, ncz = (ny - py) // 2, (nz - pz) // 2
+
+    # x-gathers: a = g (the group index, 0..nx-1), b = min(g+1, nx-1).
+    idx_b = jnp.minimum(jnp.arange(nx) + 1, nx - 1)
+    hx_b = hx[idx_b]
+
+    def trow(v, t, nc):
+        return v[t:t + 2 * nc:2]
+
+    xc = {
+        "kxa": (0.5 / hx)[:, None, None],
+        "kxb": (0.5 / hx_b)[:, None, None],
+        "ihxa": (1.0 / hx)[:, None, None],
+        "ihxb": (1.0 / hx_b)[:, None, None],
+        "kym": trow(0.5 / hy, py, ncy)[None, :, None],
+        "kyp": trow(0.5 / hy, 1 + py, ncy)[None, :, None],
+        "kzm": trow(0.5 / hz, pz, ncz)[None, None, :],
+        "kzp": trow(0.5 / hz, 1 + pz, ncz)[None, None, :],
+        "ihym": trow(1.0 / hy, py, ncy)[None, :, None],
+        "ihyp": trow(1.0 / hy, 1 + py, ncy)[None, :, None],
+        "ihzm": trow(1.0 / hz, pz, ncz)[None, None, :],
+        "ihzp": trow(1.0 / hz, 1 + pz, ncz)[None, None, :],
+    }
+
+    fld = {"ex": ex, "ey": ey, "ez": ez, "sx": sx, "sy": sy, "sz": sz,
+           "eta_x": eta_x, "eta_y": eta_y, "eta_z": eta_z, "zeta": zeta}
+
+    def gf(name, pat, ty, tz):
+        xs = slice(0, nx) if pat == "a" else idx_b
+        return fld[name][xs, ty:ty + 2 * ncy:2, tz:tz + 2 * ncz:2]
+
+    mid, left, rhs = _line_x_system(gf, xc, py, pz, cdtype)
+    mid, left, rhs = _line_last_group_fix(mid, left, rhs)
+
+    u = _block_solve_lines(mid, left, rhs)
+
+    # Scatter: the on-line ex and the four transverse edges at node g+1.
     ycN = slice(1 + py, ny, 2)
-    ypN = slice(2 + py, ny + 1, 2)
-    ymN = slice(py, ny - 1, 2)
     ymC = slice(py, ny - 1, 2)
     ypC = slice(1 + py, ny, 2)
     zcN = slice(1 + pz, nz, 2)
-    zpN = slice(2 + pz, nz + 1, 2)
-    zmN = slice(pz, nz - 1, 2)
     zmC = slice(pz, nz - 1, 2)
     zpC = slice(1 + pz, nz, 2)
-
-    ex_b = ex[idx_b]
-    ey_b = ey[idx_b]
-    ez_b = ez[idx_b]
-    sy_b = sy[idx_b]
-    sz_b = sz[idx_b]
-
-    # Off-line couplings moved to the rhs (core.py:723-766).
-    r0 = (sx[:, ycN, zcN]
-          + mp["zyRxm"] * ex[:, ypN, zcN] * pihyp
-          + mp["zyLxm"] * ex[:, ymN, zcN] * pihym
-          + mp["yzRxm"] * ex[:, ycN, zpN] * pihzp
-          + mp["yzLxm"] * ex[:, ycN, zmN] * pihzm)
-
-    r1 = (sy_b[:, ymC, zcN]
-          + (mp["zxRym"] * ex_b[:, ymN, zcN]
-             - mp["zxLym"] * ex[:, ymN, zcN]
-             + mp["xzRym"] * ez_b[:, ymN, zpC]
-             - mp["xzLym"] * ez_b[:, ymN, zmC]) * pihym
-          + mp["xzRym"] * ey_b[:, ymC, zpN] * pihzp
-          + mp["xzLym"] * ey_b[:, ymC, zmN] * pihzm)
-
-    r2 = (sy_b[:, ypC, zcN]
-          + (mp["zxLyp"] * ex[:, ypN, zcN]
-             - mp["zxRyp"] * ex_b[:, ypN, zcN]
-             + mp["xzLyp"] * ez_b[:, ypN, zmC]
-             - mp["xzRyp"] * ez_b[:, ypN, zpC]) * pihyp
-          + mp["xzRyp"] * ey_b[:, ypC, zpN] * pihzp
-          + mp["xzLyp"] * ey_b[:, ypC, zmN] * pihzm)
-
-    r3 = (sz_b[:, ycN, zmC]
-          + (mp["yxRzm"] * ex_b[:, ycN, zmN]
-             - mp["yxLzm"] * ex[:, ycN, zmN]
-             + mp["xyRzm"] * ey_b[:, ypC, zmN]
-             - mp["xyLzm"] * ey_b[:, ymC, zmN]) * pihzm
-          + mp["xyRzm"] * ez_b[:, ypN, zmC] * pihyp
-          + mp["xyLzm"] * ez_b[:, ymN, zmC] * pihym)
-
-    r4 = (sz_b[:, ycN, zpC]
-          + (mp["yxLzp"] * ex[:, ycN, zpN]
-             - mp["yxRzp"] * ex_b[:, ycN, zpN]
-             + mp["xyLzp"] * ey_b[:, ymC, zpN]
-             - mp["xyRzp"] * ey_b[:, ypC, zpN]) * pihzp
-          + mp["xyRzp"] * ez_b[:, ypN, zpC] * pihyp
-          + mp["xyLzp"] * ez_b[:, ymN, zpC] * pihym)
-
-    blk_p = mp["zyRxm"].shape
-    rhs = jnp.stack([jnp.broadcast_to(r0, blk_p),
-                     jnp.broadcast_to(r1, blk_p),
-                     jnp.broadcast_to(r2, blk_p),
-                     jnp.broadcast_to(r3, blk_p),
-                     jnp.broadcast_to(r4, blk_p)], axis=-1)
-    # Last group: only the ex entry (core.py:1467-1470).
-    rhs = rhs.at[-1, :, :, 1:].set(0.0)
-
-    u = _block_solve_lines(mid_p, left_p, rhs)
-
     ex = ex.at[:, ycN, zcN].set(u[..., 0])
     ey = ey.at[1:nx, ymC, zcN].set(u[:-1, ..., 1])
     ey = ey.at[1:nx, ypC, zcN].set(u[:-1, ..., 2])
@@ -922,6 +945,85 @@ def _block_thomas(mid, left, rhs):
     _, us = jax.lax.scan(
         bwd, u_last, (cts[:-1], ys[:-1], left[1:]), reverse=True)
     return jnp.concatenate([us, u_last[None]], axis=0)
+
+
+def _block_thomas_paired(midE, leftE, rhsE, midO, leftO, rhsO):
+    """Block-Thomas over x-parity-split stacks (even groups E, odd O).
+
+    The same block-tridiagonal system as :func:`_block_thomas` with the
+    rows interleaved E[0], O[0], E[1], O[1], ...; operating on the
+    split stacks directly lets the parity-blocked line phase
+    (:mod:`emg3d_tpu.ops.blocked`) skip materializing interleaved
+    tensors.  Each scan step eliminates one (E, O) pair, so the
+    sequential depth is the same 2n as the dense Thomas scan at half
+    the scan length.  Returns ``(uE, uO)``.
+    """
+    nE, nO = midE.shape[0], midO.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(5, dtype=midE.dtype), midE.shape[1:])
+    # Uniform pairing: pad E with one trailing identity group so that
+    # nE == nO + 1 always (the dummy's left coupling is zero and its
+    # solution is never read back).
+    padded = nE == nO
+    if padded:
+        midE = jnp.concatenate([midE, eye[None]], axis=0)
+        leftE = jnp.concatenate(
+            [leftE, jnp.zeros_like(leftE[:1])], axis=0)
+        rhsE = jnp.concatenate([rhsE, jnp.zeros_like(rhsE[:1])], axis=0)
+        nE += 1
+    # The first group has no left coupling.
+    leftE = leftE.at[0].set(0.0)
+
+    def elim(carry, m_g, l_g, r_g):
+        c_prev, y_prev = carry
+        rhs_cat = jnp.concatenate(
+            [jnp.swapaxes(l_g, -1, -2), y_prev[..., None]], axis=-1)
+        x = _solve5(c_prev, rhs_cat)
+        ct = m_g - jnp.einsum("...ij,...jk->...ik", l_g, x[..., :5])
+        y = r_g - jnp.einsum("...ij,...j->...i", l_g, x[..., 5])
+        return ct, y
+
+    def fwd(carry, inp):
+        mE, lE, rE, mO, lO, rO = inp
+        ctE, yE = elim(carry, mE, lE, rE)
+        ctO, yO = elim((ctE, yE), mO, lO, rO)
+        return (ctO, yO), (ctE, yE, ctO, yO)
+
+    init = (eye, jnp.zeros(rhsE.shape[1:], dtype=rhsE.dtype))
+    carry, (ctsE, ysE, ctsO, ysO) = jax.lax.scan(
+        fwd, init, (midE[:nO], leftE[:nO], rhsE[:nO], midO, leftO, rhsO))
+    # Peel the final E group (the global last group, or the dummy pad).
+    ctL, yL = elim(carry, midE[nO], leftE[nO], rhsE[nO])
+    uL = _solve5(ctL, yL[..., None])[..., 0]
+
+    def bwd(u_next, inp):
+        # u_next = uE[k+1]; back-substitute uO[k] then uE[k].
+        ctE, yE, ctO, yO, lE_next, lO = inp
+        rO = yO - jnp.einsum("...ji,...j->...i", lE_next, u_next)
+        uO = _solve5(ctO, rO[..., None])[..., 0]
+        rE = yE - jnp.einsum("...ji,...j->...i", lO, uO)
+        uE = _solve5(ctE, rE[..., None])[..., 0]
+        return uE, (uE, uO)
+
+    _, (usE, usO) = jax.lax.scan(
+        bwd, uL, (ctsE, ysE, ctsO, ysO, leftE[1:nO + 1], leftO),
+        reverse=True)
+    uE = jnp.concatenate([usE, uL[None]], axis=0)
+    if padded:
+        uE = uE[:-1]
+    return uE, usO
+
+
+def resolve_impl():
+    """The smoother layout selected by ``EMG3D_TPU_SMOOTHER``.
+
+    'auto' (the default) resolves to 'blocked' on the CPU backend and
+    'xla' elsewhere — read at TRACE time (flipping the knob after an
+    executable is cached needs ``jax.clear_caches()``).
+    """
+    impl = os.environ.get("EMG3D_TPU_SMOOTHER", "auto")
+    if impl == "auto":
+        return "blocked" if jax.default_backend() == "cpu" else "xla"
+    return impl
 
 
 def gauss_seidel_line(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,

@@ -70,6 +70,14 @@ def _scaled(arrs):
                 out[k], out[k + "_lo"], scale, scale_lo)
         else:
             out[k] = scale * out[k]
+    if "blk" in out:
+        # Pre-blocked smoother operands (hi parts only — the blocked
+        # layout feeds the smoother, never the df64 residual): rescale
+        # the eta block-tuples; zeta is frequency-independent.
+        bx, by, bz, bzeta = out["blk"]
+        out["blk"] = (tuple(scale * b for b in bx),
+                      tuple(scale * b for b in by),
+                      tuple(scale * b for b in bz), bzeta)
     return out
 
 
@@ -567,6 +575,11 @@ def _build_hierarchy_batched(vmodels, sc_dir, lr_dir, clevel_max, mesh=None,
     stacked = []
     for lvl in range(len(metas[0])):
         out = dict(per_task[0][lvl])
+        # Pre-blocked operands are task-0's only — stacking blocked
+        # copies would cost O(B * cells); drop them so the smoother
+        # falls back to the strided layout in this (rare, epsilon_r)
+        # per-task-eta mode.
+        out.pop("blk", None)
         for k in out:
             if not k.startswith("eta_"):
                 continue

@@ -331,6 +331,15 @@ def _build_hierarchy(vmodel, sc_dir, lr_dir, clevel_max, placement=None):
                                         fdt)
                 lvl_arrays[name] = jnp.asarray(hi)
                 lvl_arrays[name + '_lo'] = jnp.asarray(lo)
+        if placement is None and smoothers.resolve_impl() == 'blocked':
+            # Pre-blocked smoother operands (once per level, reused by
+            # every smoothing call on this hierarchy): the blocked
+            # smoothing path then only de-interleaves the fields and
+            # the level source per call (ops/blocked.py).
+            from emg3d_tpu.ops import blocked
+            lvl_arrays['blk'] = blocked.block_model_operands(
+                lvl_arrays['eta_x'], lvl_arrays['eta_y'],
+                lvl_arrays['eta_z'], lvl_arrays['zeta'])
         lvl_meta = {
             'shape': tuple(shape),
             'c_lr_dir': _current_lr_dir(lr_dir, shape),
@@ -408,7 +417,20 @@ def _build_hierarchy(vmodel, sc_dir, lr_dir, clevel_max, placement=None):
 # ==========================================================================
 
 def _smooth_dev(e, s, arrs, c_lr_dir, nu):
-    """Smoothing dispatch (reference solver.py:788-846)."""
+    """Smoothing dispatch (reference solver.py:788-846).
+
+    When the hierarchy carries pre-blocked model operands ('blk',
+    added by _build_hierarchy for unsharded solves under
+    EMG3D_TPU_SMOOTHER=blocked/auto-on-CPU), the WHOLE smoothing call
+    — point sweeps and every line-relaxation axis — runs on the
+    parity-blocked layout: fields de-interleaved once per call, model
+    operands never re-blocked (ops/blocked.py).
+    """
+    if 'blk' in arrs and smoothers.resolve_impl() == 'blocked':
+        from emg3d_tpu.ops import blocked
+        return blocked.smooth_blocked_dev(
+            e, s, arrs['blk'], arrs['hx'], arrs['hy'], arrs['hz'],
+            c_lr_dir, nu)
     P = (arrs['eta_x'], arrs['eta_y'], arrs['eta_z'], arrs['zeta'],
          arrs['hx'], arrs['hy'], arrs['hz'])
     if c_lr_dir == 0:
