@@ -47,11 +47,12 @@ class Simulation:
 
     # Optional constructor settings stored verbatim as attributes.
     # 'parallel' selects the survey fan-out: 'task' (host loop over
-    # the jitted device solver; default) or 'batch' (all (source,
-    # freq) pairs as one leading batch axis, vmapped and sharded over
-    # a jax device mesh — the TPU-native replacement of the
-    # reference's process pool; needs gridding='same'; plain cycles
-    # and the MG-preconditioned-BiCGSTAB production config both run).
+    # the jitted device solver; default) or 'batch' ((source, freq)
+    # pairs as a leading batch axis, vmapped and sharded over a jax
+    # device mesh — the TPU-native replacement of the reference's
+    # process pool; any gridding mode: tasks are grouped by shared
+    # grid, one batched solve per group; plain cycles and the
+    # MG-preconditioned-BiCGSTAB production config both run).
     _SIMPLE_KWARGS = {'parallel': 'task', 'verb': 0, 'name': None,
                       'info': None, 'receiver_interpolation': 'cubic'}
 
@@ -511,11 +512,6 @@ class Simulation:
 
         from emg3d_tpu.parallel import batch
 
-        if self.gridding != 'same':
-            raise ValueError(
-                "parallel='batch' requires gridding='same' (one shared "
-                "grid for all tasks).")
-
         mesh = batch.make_task_mesh() if len(jax.devices()) > 1 else None
         sopts = {k: v for k, v in self.solver_opts.items()
                  if k in ('tol', 'maxit', 'cycle', 'sslsolver',
@@ -524,6 +520,29 @@ class Simulation:
                           'verb')}
         sopts['tol'] = tol
         return batch, mesh, sopts
+
+    def _batch_groups(self, srcfreq):
+        """Group (source, frequency) pairs by their computational grid.
+
+        The batch engine solves one grid per call; any gridding mode
+        parallelizes by batching each grid-sharing unit separately
+        (reference behavior: the process pool parallelizes EVERY mode,
+        _multiprocessing.py:33-69).  'same' yields one group;
+        'frequency'/'source'/'single'/'input' one group per shared
+        grid; 'both'/'dict' degenerate to per-task groups.  ``get_grid``
+        caches one grid OBJECT per sharing unit, so identity-grouping
+        is exact.  Returns ``[(pairs, model-on-that-grid), ...]``.
+        """
+        groups = {}
+        for src, freq in srcfreq:
+            grid = self.get_grid(src, freq)
+            groups.setdefault(id(grid), (grid, []))[1].append((src, freq))
+        out = []
+        for grid, pairs in groups.values():
+            gmodel = (self.model if grid is self.model.grid
+                      else self.get_model(*pairs[0]))
+            out.append((pairs, gmodel))
+        return out
 
     def _store_batch_result(self, kind, srcfreq, fields_out, info):
         """Unpack a batch solve into the per-task caches.
@@ -562,16 +581,17 @@ class Simulation:
         """
         batch, mesh, sopts = self._batch_setup(self.tol_forward)
 
-        sources = [self.survey.sources[src] for src, _ in srcfreq]
-        freqs = [self.survey.frequencies[f] for _, f in srcfreq]
-        guesses = [self._dict_get('efield', src, freq)
-                   for src, freq in srcfreq]
+        for pairs, gmodel in self._batch_groups(srcfreq):
+            sources = [self.survey.sources[src] for src, _ in pairs]
+            freqs = [self.survey.frequencies[f] for _, f in pairs]
+            guesses = [self._dict_get('efield', src, freq)
+                       for src, freq in pairs]
 
-        efields, info = batch.solve_batch(
-            self.model, sources, freqs, mesh=mesh, efields=guesses,
-            **sopts)
+            efields, info = batch.solve_batch(
+                gmodel, sources, freqs, mesh=mesh, efields=guesses,
+                **sopts)
+            self._store_batch_result('efield', pairs, efields, info)
 
-        self._store_batch_result('efield', srcfreq, efields, info)
         for src, freq in srcfreq:
             self.data['synthetic'].loc[src, :, freq] = \
                 self._get_responses(src, freq)
@@ -759,14 +779,14 @@ class Simulation:
 
         if self.parallel == 'batch':
             batch, mesh, sopts = self._batch_setup(self.tol_gradient)
-            rfields = [self._get_rfield(src, freq)
-                       for src, freq in self._srcfreq]
-            guesses = [self._dict_get('bfield', src, freq)
-                       for src, freq in self._srcfreq]
-            bfields, info = batch.solve_batch_fields(
-                self.model, rfields, mesh=mesh, efields=guesses, **sopts)
-            self._store_batch_result('bfield', self._srcfreq, bfields,
-                                     info)
+            for pairs, gmodel in self._batch_groups(self._srcfreq):
+                rfields = [self._get_rfield(src, freq)
+                           for src, freq in pairs]
+                guesses = [self._dict_get('bfield', src, freq)
+                           for src, freq in pairs]
+                bfields, info = batch.solve_batch_fields(
+                    gmodel, rfields, mesh=mesh, efields=guesses, **sopts)
+                self._store_batch_result('bfield', pairs, bfields, info)
         else:
             def bfield_payload(src, freq):
                 return {
@@ -862,15 +882,15 @@ class Simulation:
 
         if self.parallel == 'batch':
             # Sensitivity sources batch like forward sources: one
-            # sharded solve for the whole survey.
+            # sharded solve per grid-sharing group.
             batch, mesh, sopts = self._batch_setup(self.tol_gradient)
-            gsrcs = [gfield_source(src, freq)
-                     for src, freq in self._srcfreq]
-            gfields, _ = batch.solve_batch_fields(
-                self.model, gsrcs, mesh=mesh, **sopts)
-            for (src, freq), gfield in zip(self._srcfreq, gfields):
-                self.data['jvec'].loc[src, :, freq] = \
-                    self._get_responses(src, freq, gfield)
+            for pairs, gmodel in self._batch_groups(self._srcfreq):
+                gsrcs = [gfield_source(src, freq) for src, freq in pairs]
+                gfields, _ = batch.solve_batch_fields(
+                    gmodel, gsrcs, mesh=mesh, **sopts)
+                for (src, freq), gfield in zip(pairs, gfields):
+                    self.data['jvec'].loc[src, :, freq] = \
+                        self._get_responses(src, freq, gfield)
             return self.data['jvec'].data
 
         def gfield_payload(src, freq):

@@ -414,16 +414,37 @@ class TestBatchParallel:
             batch.solve_batch(model, [(0., 0., 0., 0., 0.)], [1.0],
                               sslsolver='cgs')
 
-    def test_batch_requires_same_gridding(self):
-        model, sim_inp = make_inputs()
-        sim_inp = dict(sim_inp)
-        sim_inp['gridding'] = 'input'
-        h = np.ones(16) * 100.0
-        grid_in = meshes.TensorMesh([h, h, h], origin=(-800.,) * 3)
-        sim = e3.Simulation(model=model, parallel='batch',
-                            gridding_opts=grid_in, **sim_inp)
-        with pytest.raises(ValueError, match="gridding='same'"):
+    @pytest.mark.slow
+    @pytest.mark.parametrize('gridding', ['frequency', 'source'])
+    def test_batch_gridding_groups(self, gridding):
+        """Non-'same' gridding parallelizes in batch mode: tasks are
+        grouped by their shared grid (one batched solve per group) and
+        reproduce the sequential task loop (reference behavior: the
+        process pool parallelizes ANY mode, _multiprocessing.py:33-69)."""
+        import jax
+        jax.clear_caches()
+
+        model, sim_inp = make_inputs(nsrc=2, nfreq=2)
+
+        def synthetic_of(parallel):
+            inp = dict(sim_inp)
+            inp['survey'] = sim_inp['survey'].copy()
+            inp['gridding'] = gridding
+            inp['gridding_opts'] = {
+                'center': (0., 0., 0.), 'properties': 1.0,
+                'domain': ([-800., 800.], [-800., 800.], [-800., 800.]),
+                'min_width_limits': [100., 100.],
+                'center_on_edge': True,
+            }
+            sim = e3.Simulation(model=model, parallel=parallel, **inp)
             sim.compute()
+            ngroups = len(sim._batch_groups(sim._srcfreq))
+            return np.asarray(sim.data.synthetic).copy(), ngroups
+
+        ref, _ = synthetic_of('task')
+        out, ngroups = synthetic_of('batch')
+        assert ngroups == 2          # two sharing units, each batched
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
 
 
 class TestGriddingModes:
