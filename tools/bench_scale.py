@@ -22,6 +22,7 @@ import datetime
 import json
 import os
 import pathlib
+import resource
 import time
 
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -73,6 +74,8 @@ def main():
             "rel_error": float(info["rel_error"]),
             "platform": jax.default_backend(),
             "smoother": os.environ.get("EMG3D_TPU_SMOOTHER", "auto"),
+            "peak_rss_gb": round(resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / 2**20, 2),
             "date": datetime.date.today().isoformat(),
         }
         print(json.dumps(rec), flush=True)

@@ -225,6 +225,37 @@ def main():
             os.environ.pop("EMG3D_TPU_LINE_SOLVER", None)
             jax.clear_caches()
 
+            # Whole x-line-relax smooth (nu=2, lr_dir=1): strided
+            # gathers vs the parity-blocked layout — decides
+            # EMG3D_TPU_SMOOTHER for the PRODUCTION config (where the
+            # reference spends >90% of runtime).  The blocked variant
+            # includes the per-call field (de)interleave, exactly as
+            # the solver pays it (solver._smooth_dev).
+            try:
+                from emg3d_tpu.ops import blocked as _blk
+                blk_ops = _blk.block_model_operands(
+                    arrs["eta_x"], arrs["eta_y"], arrs["eta_z"],
+                    arrs["zeta"])
+                lws = jax.jit(lambda e_, s_: smoothers.gauss_seidel_line(
+                    *e_, *s_, arrs["eta_x"], arrs["eta_y"],
+                    arrs["eta_z"], arrs["zeta"], arrs["hx"],
+                    arrs["hy"], arrs["hz"], 2, 0))
+                t = timed(lws, e, s, n=5)
+                emit(metric="line_smooth_nu2_xla_s", size=n, value=t,
+                     cells_per_s=round(2 * n ** 3 / t),
+                     **bw_fields(t, 2 * 25, n))
+                lwb = jax.jit(lambda e_, s_: _blk.smooth_blocked_dev(
+                    e_, s_, blk_ops, arrs["hx"], arrs["hy"],
+                    arrs["hz"], 1, 2))
+                t = timed(lwb, e, s, n=5)
+                emit(metric="line_smooth_nu2_blocked_s", size=n,
+                     value=t, cells_per_s=round(2 * n ** 3 / t),
+                     **bw_fields(t, 12 + 16, n))
+            except Exception as exc:
+                emit(metric="line_smooth_error", size=n,
+                     error=str(exc)[:200])
+            jax.clear_caches()
+
             t = timed(lambda: solver._residual_norm_split_jit(
                 e, e, s, arrs)[1], n=5)
             emit(metric="df64_residual_s", size=n, value=t,
@@ -313,6 +344,74 @@ def main():
             os.environ.pop("EMG3D_TPU_SMOOTHER", None)
         except Exception as exc:
             emit(metric="solve_error", size=n, error=str(exc)[:200])
+
+    # 4. production-config solves (the solver DEFAULT:
+    # MG-preconditioned BiCGSTAB + semicoarsening + line relaxation —
+    # the reference's >90%-in-smoothing regime) and the cycle-jit
+    # crossover (EMG3D_TPU_CYCLE_JIT fuses cycle+accumulate+norm into
+    # one dispatch — a device-dispatch-latency play whose win has
+    # never been measured on the tunneled TPU).
+    for n in [s for s in SIZES if s >= 64] or SIZES[-1:]:
+        try:
+            h = np.full(n, 50.0)
+            grid = meshes.TensorMesh([h, h, h], origin=(-n * 25.0,) * 3)
+            model = models.Model(grid, property_x=1.0)
+            sfield = fields.get_source_field(
+                grid, source=(0., 0., 0., 0., 0.), frequency=1.0)
+            for impl in ("xla", "blocked"):
+                os.environ["EMG3D_TPU_SMOOTHER"] = impl
+                jax.clear_caches()
+                t0 = time.perf_counter()
+                efield, info = solver.solve(
+                    model, sfield, sslsolver=True, semicoarsening=True,
+                    linerelaxation=True, tol=1e-6, maxit=50,
+                    return_info=True, verb=0)
+                cold = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                efield, info = solver.solve(
+                    model, sfield, sslsolver=True, semicoarsening=True,
+                    linerelaxation=True, tol=1e-6, maxit=50,
+                    return_info=True, verb=0)
+                warm = time.perf_counter() - t0
+                emit(metric=f"solve_production_{impl}", size=n,
+                     cold_s=round(cold, 3), warm_s=round(warm, 3),
+                     it_mg=info["it_mg"], it_ssl=info.get("it_ssl", 0),
+                     cells_per_s=round(n ** 3 / warm),
+                     rel_error=float(info["rel_error"]),
+                     exit=info["exit_message"])
+            os.environ.pop("EMG3D_TPU_SMOOTHER", None)
+        except Exception as exc:
+            emit(metric="solve_production_error", size=n,
+                 error=str(exc)[:200])
+
+    n = 64 if 64 in SIZES else SIZES[-1]
+    try:
+        h = np.full(n, 50.0)
+        grid = meshes.TensorMesh([h, h, h], origin=(-n * 25.0,) * 3)
+        model = models.Model(grid, property_x=1.0)
+        sfield = fields.get_source_field(
+            grid, source=(0., 0., 0., 0., 0.), frequency=1.0)
+        for cj in ("0", "1"):
+            os.environ["EMG3D_TPU_CYCLE_JIT"] = cj
+            import jax as _jax
+            _jax.clear_caches()
+            t0 = time.perf_counter()
+            efield, info = solver.solve(
+                model, sfield, plain=True, cycle='F', tol=1e-6,
+                maxit=50, return_info=True, verb=0)
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            efield, info = solver.solve(
+                model, sfield, plain=True, cycle='F', tol=1e-6,
+                maxit=50, return_info=True, verb=0)
+            warm = time.perf_counter() - t0
+            emit(metric=f"solve_plain_F_cyclejit{cj}", size=n,
+                 cold_s=round(cold, 3), warm_s=round(warm, 3),
+                 it_mg=info["it_mg"], cells_per_s=round(n ** 3 / warm),
+                 exit=info["exit_message"])
+        os.environ.pop("EMG3D_TPU_CYCLE_JIT", None)
+    except Exception as exc:
+        emit(metric="solve_cyclejit_error", size=n, error=str(exc)[:200])
 
 
 if __name__ == "__main__":
