@@ -59,7 +59,8 @@ def main():
         kw.update(plain=True, cycle='F')
 
     ref = REF_SECONDS.get(N)
-    for tag in ("cold", "warm"):
+    reps = int(os.environ.get("BENCH_WARM_REPS", "1"))
+    for tag in ("cold",) + ("warm",) * reps:
         t0 = time.perf_counter()
         efield, info = solver.solve(model, sfield, **kw)
         dt = time.perf_counter() - t0
