@@ -384,6 +384,11 @@ def main():
             emit(metric="solve_production_error", size=n,
                  error=str(exc)[:200])
 
+    # 5. Krylov variants at production scale (all three are native
+    # device-side, but cgs/gcrotmk carry per-inner-step host scalars —
+    # gcrotmk additionally a host least-squares per Arnoldi step; their
+    # dispatch-latency cost on the tunneled TPU has never been
+    # measured).
     n = 64 if 64 in SIZES else SIZES[-1]
     try:
         h = np.full(n, 50.0)
@@ -391,6 +396,29 @@ def main():
         model = models.Model(grid, property_x=1.0)
         sfield = fields.get_source_field(
             grid, source=(0., 0., 0., 0., 0.), frequency=1.0)
+        for kry in ("bicgstab", "cgs", "gcrotmk"):
+            jax.clear_caches()
+            t0 = time.perf_counter()
+            efield, info = solver.solve(
+                model, sfield, sslsolver=kry if kry != "bicgstab"
+                else True, semicoarsening=True, linerelaxation=True,
+                tol=1e-6, maxit=50, return_info=True, verb=0)
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            efield, info = solver.solve(
+                model, sfield, sslsolver=kry if kry != "bicgstab"
+                else True, semicoarsening=True, linerelaxation=True,
+                tol=1e-6, maxit=50, return_info=True, verb=0)
+            warm = time.perf_counter() - t0
+            emit(metric=f"solve_krylov_{kry}", size=n,
+                 cold_s=round(cold, 3), warm_s=round(warm, 3),
+                 it_ssl=info.get("it_ssl", 0), it_mg=info["it_mg"],
+                 cells_per_s=round(n ** 3 / warm),
+                 exit=info["exit_message"])
+    except Exception as exc:
+        emit(metric="solve_krylov_error", size=n, error=str(exc)[:200])
+
+    try:
         for cj in ("0", "1"):
             os.environ["EMG3D_TPU_CYCLE_JIT"] = cj
             import jax as _jax
