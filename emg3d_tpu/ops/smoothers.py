@@ -64,6 +64,27 @@ __all__ = ["gauss_seidel", "gauss_seidel_sweep", "gauss_seidel_phase",
            "solve_banded_5x5", "resolve_impl"]
 
 
+def _scan_unroll(steps):
+    """Per-step unroll factor for the block-Thomas scans (trace time).
+
+    ``lax.scan`` pays a per-iteration control overhead that XLA:CPU
+    does not amortize, so SHORT scans (small grids and every coarse
+    hierarchy level) are loop-overhead-dominated there.  Measured on
+    the blocked x-line smooth (nu=2, this host, 2026-08-19): unroll=2
+    is 2.04x at 32 steps (64-cube) but 0.75x at 64 steps (128-cube,
+    register/cache pressure beats the saved overhead) — hence
+    length-adaptive.  ``EMG3D_TPU_SCAN_UNROLL`` (int) overrides for
+    every scan.  Off-CPU the default stays 1 until a device
+    measurement says otherwise (tools/tpu_profile.py).
+    """
+    v = os.environ.get("EMG3D_TPU_SCAN_UNROLL", "auto")
+    if v != "auto":
+        return max(1, int(v))
+    if jax.default_backend() != "cpu":
+        return 1
+    return 2 if steps <= 40 else 1
+
+
 # -------------------------------------------------------------------------
 # Small dense solves, unrolled (no pivoting — mirrors reference
 # core.py:1481-1616 which factors without pivoting).
@@ -931,7 +952,8 @@ def _block_thomas(mid, left, rhs):
 
     (c0, y0) = (mid[0], rhs[0])
     (_, _), (cts, ys) = jax.lax.scan(
-        fwd, (c0, y0), (mid[1:], left[1:], rhs[1:]))
+        fwd, (c0, y0), (mid[1:], left[1:], rhs[1:]),
+        unroll=_scan_unroll(mid.shape[0] - 1))
     cts = jnp.concatenate([c0[None], cts], axis=0)
     ys = jnp.concatenate([y0[None], ys], axis=0)
 
@@ -943,7 +965,8 @@ def _block_thomas(mid, left, rhs):
 
     u_last = _solve5(cts[-1], ys[-1][..., None])[..., 0]
     _, us = jax.lax.scan(
-        bwd, u_last, (cts[:-1], ys[:-1], left[1:]), reverse=True)
+        bwd, u_last, (cts[:-1], ys[:-1], left[1:]), reverse=True,
+        unroll=_scan_unroll(mid.shape[0] - 1))
     return jnp.concatenate([us, u_last[None]], axis=0)
 
 
@@ -990,7 +1013,8 @@ def _block_thomas_paired(midE, leftE, rhsE, midO, leftO, rhsO):
 
     init = (eye, jnp.zeros(rhsE.shape[1:], dtype=rhsE.dtype))
     carry, (ctsE, ysE, ctsO, ysO) = jax.lax.scan(
-        fwd, init, (midE[:nO], leftE[:nO], rhsE[:nO], midO, leftO, rhsO))
+        fwd, init, (midE[:nO], leftE[:nO], rhsE[:nO], midO, leftO, rhsO),
+        unroll=_scan_unroll(nO))
     # Peel the final E group (the global last group, or the dummy pad).
     ctL, yL = elim(carry, midE[nO], leftE[nO], rhsE[nO])
     uL = _solve5(ctL, yL[..., None])[..., 0]
@@ -1006,7 +1030,7 @@ def _block_thomas_paired(midE, leftE, rhsE, midO, leftO, rhsO):
 
     _, (usE, usO) = jax.lax.scan(
         bwd, uL, (ctsE, ysE, ctsO, ysO, leftE[1:nO + 1], leftO),
-        reverse=True)
+        reverse=True, unroll=_scan_unroll(nO))
     uE = jnp.concatenate([usE, uL[None]], axis=0)
     if padded:
         uE = uE[:-1]
