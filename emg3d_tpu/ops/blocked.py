@@ -439,7 +439,27 @@ def line_relax_phase_blocked(exb, eyb, ezb, sxb, syb, szb, etaxb, etayb,
     return from_frame(out)
 
 
-def smooth_blocked_dev(e, s, ops, hx, hy, hz, c_lr_dir, nu):
+def transposed_model_frames(ops):
+    """Pre-transpose the blocked model operands into the y-/z-frames.
+
+    The model is invariant across smoothing calls, so the per-call
+    frame transposes of eta/zeta in :func:`smooth_blocked_dev` are
+    wasted traffic — the solver stores these once per hierarchy level
+    ('blk_t') whenever line relaxation is on.  Returns
+    ``{axis: (etaF_x8, etaF_y8, etaF_z8, zetaF8)}`` for axis 1 and 2,
+    already in the permuted-frame component order.
+    """
+    etaxb, etayb, etazb, zetab = ops
+    out = {}
+    for axis in (1, 2):
+        tp, to_frame, _ = _frame_maps(axis)
+        eF = to_frame((etaxb, etayb, etazb))
+        zF = transpose_blocks(zetab, tp)
+        out[axis] = (*eF, zF)
+    return out
+
+
+def smooth_blocked_dev(e, s, ops, hx, hy, hz, c_lr_dir, nu, ops_t=None):
     """Blocked-storage equivalent of ``solver._smooth_dev``.
 
     De-interleaves the fields and the source ONCE, runs every point
@@ -448,7 +468,10 @@ def smooth_blocked_dev(e, s, ops, hx, hy, hz, c_lr_dir, nu):
     4 * nu line phases of that axis), and re-interleaves the fields at
     the end.  ``ops`` are the pre-blocked model operands
     (:func:`block_model_operands` — stored per hierarchy level by the
-    solver, so they are never re-blocked per call).
+    solver, so they are never re-blocked per call); ``ops_t`` the
+    optional pre-transposed y-/z-frames of the same operands
+    (:func:`transposed_model_frames` — drops the per-call model
+    transposes of the line-relaxation frames too).
     """
     shape = (hx.size, hy.size, hz.size)
     shapes = tuple(a.shape for a in e)
@@ -476,8 +499,12 @@ def smooth_blocked_dev(e, s, ops, hx, hy, hz, c_lr_dir, nu):
         else:
             fF = to_frame(fb)
             sF = to_frame(sb)
-            eF = to_frame((etaxb, etayb, etazb))
-            zF = transpose_blocks(zetab, tp)
+            if ops_t is not None:
+                exF, eyF, ezF, zF = ops_t[axis]
+                eF = (exF, eyF, ezF)
+            else:
+                eF = to_frame((etaxb, etayb, etazb))
+                zF = transpose_blocks(zetab, tp)
             hF = (hy, hx, hz) if axis == 1 else (hz, hy, hx)
         colors = line_phase_colors(shape, axis, False)
         for sweep in range(nu):

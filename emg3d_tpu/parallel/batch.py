@@ -78,6 +78,13 @@ def _scaled(arrs):
         out["blk"] = (tuple(scale * b for b in bx),
                       tuple(scale * b for b in by),
                       tuple(scale * b for b in bz), bzeta)
+    if "blk_t" in out:
+        # Same rescale for the pre-transposed y-/z-frame copies.
+        out["blk_t"] = {
+            ax: (tuple(scale * b for b in fx),
+                 tuple(scale * b for b in fy),
+                 tuple(scale * b for b in fz), fzeta)
+            for ax, (fx, fy, fz, fzeta) in out["blk_t"].items()}
     return out
 
 
@@ -580,6 +587,7 @@ def _build_hierarchy_batched(vmodels, sc_dir, lr_dir, clevel_max, mesh=None,
         # falls back to the strided layout in this (rare, epsilon_r)
         # per-task-eta mode.
         out.pop("blk", None)
+        out.pop("blk_t", None)
         for k in out:
             if not k.startswith("eta_"):
                 continue

@@ -243,3 +243,22 @@ def test_solver_dispatch_parity(monkeypatch):
         jax.clear_caches()
     assert_allclose(np.asarray(out.field), np.asarray(ref.field),
                     rtol=1e-10, atol=1e-13)
+
+
+@pytest.mark.parametrize("lr", [4, 7])
+def test_pretransposed_model_frames(lr):
+    """smooth_blocked_dev with pre-transposed model frames ('blk_t',
+    stored once per hierarchy level) matches the on-the-fly frame
+    transposes exactly."""
+    (ex, ey, ez), args = _random_setup((6, 8, 10), seed=23)
+    sx, sy, sz, etax, etay, etaz, zeta, hx, hy, hz = args
+    ops = blocked.block_model_operands(etax, etay, etaz, zeta)
+    ops_t = blocked.transposed_model_frames(ops)
+
+    ref = blocked.smooth_blocked_dev(
+        (ex, ey, ez), (sx, sy, sz), ops, hx, hy, hz, lr, 2)
+    out = blocked.smooth_blocked_dev(
+        (ex, ey, ez), (sx, sy, sz), ops, hx, hy, hz, lr, 2,
+        ops_t=ops_t)
+    for o, r in zip(out, ref):
+        assert_allclose(np.asarray(o), np.asarray(r), rtol=0, atol=0)
