@@ -59,9 +59,11 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
         platform = "cpu-fallback"
-        # Keep the CPU fallback affordable on the 1-core host.
+        # Keep the CPU fallback affordable on the 1-core host —
+        # BENCH_CPU_N raises the cap (e.g. 64 costs ~5 s extra warm and
+        # makes the artifact's freshly-measured field self-contained).
         global N
-        N = min(N, 48)
+        N = min(N, int(os.environ.get("BENCH_CPU_N", "64")))
     else:
         # Bound the rebirth loop's total wall-clock so the contractual
         # JSON line (CPU-fallback if need be) always lands within the

@@ -8,9 +8,9 @@ fields are stacked, every multigrid operation is ``jax.vmap``-ed over
 that axis, and the axis is sharded over the devices of a
 ``jax.sharding.Mesh`` — XLA partitions the batch with zero collectives.
 
-All tasks must share the grid (the Simulation layer interpolates to a
-common grid for its 'same' gridding mode; per-task grids fall back to a
-sequential loop there).
+All tasks in one batched solve must share the grid; the Simulation
+layer groups tasks by computational grid and runs one batched solve per
+group, so every gridding mode batches (``Simulation._batch_groups``).
 """
 
 import functools

@@ -54,7 +54,11 @@ def main():
 
     kw = dict(tol=1e-6, maxit=50, return_info=True, verb=0)
     if CONFIG == "production":
-        kw.update(sslsolver=True, semicoarsening=True, linerelaxation=True)
+        # BENCH_SSL picks the Krylov driver (bicgstab/cgs/gcrotmk) for
+        # the decision-table row "Krylov variant at production scale".
+        ssl = os.environ.get("BENCH_SSL", "bicgstab")
+        kw.update(sslsolver=ssl if ssl != "bicgstab" else True,
+                  semicoarsening=True, linerelaxation=True)
     else:
         kw.update(plain=True, cycle='F')
 
@@ -67,6 +71,8 @@ def main():
         rec = {
             "metric": f"fullspace_{N}c_solve_to_1e-6_{tag}",
             "n": N, "tag": tag, "config": CONFIG,
+            **({"ssl": os.environ["BENCH_SSL"]}
+               if os.environ.get("BENCH_SSL") else {}),
             "value": round(dt, 2), "unit": "s",
             "cells_per_s": round(N ** 3 / dt),
             "vs_baseline": round(ref / dt, 2) if ref else None,

@@ -24,6 +24,13 @@ import numpy as np
 
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# Make `python tools/tpu_profile.py` work directly: the repo root must
+# be importable, AND the born-bad rebirth loop (backend.reexec_if_born_bad
+# re-execs `[sys.executable] + sys.argv`) needs a real script path in
+# sys.argv — launching via `python -c "runpy..."` leaves sys.argv=['-c']
+# and the re-executed process dies with a usage error.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 OUT = os.environ.get("TPU_PROFILE_OUT", "/tmp/tpu_profile.jsonl")
 SIZES = [int(s) for s in os.environ.get(
     "TPU_PROFILE_SIZES", "32,48,64,96,128").split(",")]
