@@ -103,9 +103,18 @@ _LAYERED_SPEC = {
     'radius': float, 'minor': float, 'factor': float, 'check_foci': _bool,
 }
 
+def _shape_classes(value):
+    """shape_classes: bool flag or a float max-growth bound."""
+    try:
+        return _bool(value)
+    except (ValueError, TypeError):
+        return float(value)
+
+
 _SIMULATION_SPEC = {
     'max_workers': int, 'layered': _bool, 'gridding': str,
     'file_dir': str, 'name': str, 'receiver_interpolation': str,
+    'shape_classes': _shape_classes,
     # Deprecated location for noise options (belong in [noise_opts]).
     'min_offset': float, 'max_offset': float, 'mean_noise': float,
     'ntype': str,

@@ -25,7 +25,7 @@ from emg3d_tpu import utils
 __all__ = [
     "TensorMesh", "BaseMesh", "construct_mesh", "origin_and_widths",
     "good_mg_cell_nr", "skin_depth", "wavelength", "cell_width", "check_mesh",
-    "estimate_gridding_opts",
+    "estimate_gridding_opts", "pad_mesh_cells", "snap_shapes",
 ]
 
 
@@ -597,6 +597,64 @@ def good_mg_cell_nr(max_nr=1024, max_lowest=5, min_div=3):
     lowest = lowest[lowest <= max_lowest]
     numbers = np.unique(lowest[:, None] * 2 ** np.arange(min_div, 30))
     return numbers[numbers <= max_nr]
+
+
+def pad_mesh_cells(mesh, shape, alpha=1.3):
+    """Grow ``mesh`` outward to ``shape`` cells per dimension.
+
+    TPU-native cold-start control (no reference equivalent — the
+    reference's numba kernels are shape-generic, reference
+    emg3d/core.py:43, while XLA compiles one executable set per grid
+    SHAPE): padding several automatically-constructed grids to a shared
+    shape lets them reuse one compiled multigrid hierarchy.
+
+    The extra cells are split between both ends of each axis and
+    continue the edge cell width geometrically with ratio ``alpha`` —
+    the domain only grows outward, so boundary conditions only improve;
+    all interior nodes (sources, receivers, survey domain) are
+    untouched.
+    """
+    shape = tuple(int(n) for n in shape)
+    h_new, origin_new = [], []
+    for d in range(3):
+        h = np.asarray(mesh.h[d], dtype=np.float64)
+        extra = shape[d] - h.size
+        if extra < 0:
+            raise ValueError(
+                f"Target shape {shape} smaller than mesh "
+                f"{mesh.shape_cells} in dimension {d}.")
+        nl = extra // 2
+        nr = extra - nl
+        left = h[0] * alpha ** np.arange(1, nl + 1)
+        right = h[-1] * alpha ** np.arange(1, nr + 1)
+        h_new.append(np.r_[left[::-1], h, right])
+        origin_new.append(mesh.origin[d] - left.sum())
+    return TensorMesh(h_new, origin=np.array(origin_new))
+
+
+def snap_shapes(shapes, max_growth=1.35):
+    """Map each cell-count shape to a shared shape class.
+
+    Per-dimension greedy clustering from the largest value down: a
+    dimension value joins the current class while the class
+    representative exceeds it by at most ``max_growth``; the class
+    representatives are existing values, so padded shapes stay within
+    the multigrid-friendly set the gridding search chose from
+    (:func:`good_mg_cell_nr`).  Returns ``{shape: class_shape}``.
+
+    Used by the Simulation layer (``shape_classes=True``) to bound the
+    number of compiled hierarchies of a multi-grid-shape survey.
+    """
+    shapes = [tuple(int(n) for n in s) for s in shapes]
+    reps = []
+    for d in range(3):
+        rep_of, rep = {}, None
+        for v in sorted({s[d] for s in shapes}, reverse=True):
+            if rep is None or rep > v * max_growth:
+                rep = v
+            rep_of[v] = rep
+        reps.append(rep_of)
+    return {s: tuple(reps[d][s[d]] for d in range(3)) for s in set(shapes)}
 
 
 def skin_depth(frequency, conductivity, mu_r=1.0):

@@ -53,8 +53,14 @@ class Simulation:
     # process pool; any gridding mode: tasks are grouped by shared
     # grid, one batched solve per group; plain cycles and the
     # MG-preconditioned-BiCGSTAB production config both run).
+    # 'shape_classes' (False | True | float max-growth factor) snaps the
+    # per-task grids of the multi-grid gridding modes onto shared shape
+    # classes (meshes.snap_shapes + pad_mesh_cells): XLA compiles one
+    # executable set per grid SHAPE, so collapsing the shape set bounds
+    # cold-start compilation at O(classes) instead of O(distinct grids).
     _SIMPLE_KWARGS = {'parallel': 'task', 'verb': 0, 'name': None,
-                      'info': None, 'receiver_interpolation': 'cubic'}
+                      'info': None, 'receiver_interpolation': 'cubic',
+                      'shape_classes': False}
 
     def __init__(self, survey, model, max_workers=4, gridding='single',
                  **kwargs):
@@ -159,7 +165,7 @@ class Simulation:
         ('layered', 'layered'), ('layered_opts', 'layered_opts'),
         ('receiver_interpolation', 'receiver_interpolation'),
         ('tol_gradient', 'tol_gradient'), ('file_dir', 'file_dir'),
-        ('_input_sc2', '_input_sc2'),
+        ('shape_classes', 'shape_classes'), ('_input_sc2', '_input_sc2'),
     )
 
     # The cached per-task state dictionaries (dict[source][freq]).
@@ -351,13 +357,49 @@ class Simulation:
         if cache is None:
             cache = self._shared_grids = {}
         if key not in cache:
-            inp = dict(self.gridding_opts)
-            if 'frequency' in extras:
-                inp['frequency'] = self.survey.frequencies[freq]
-            if 'center' in extras:
-                inp['center'] = self.survey.sources[source].center
-            cache[key] = meshes.construct_mesh(**inp)
+            if self.shape_classes and key_fields:
+                self._grid_all_snapped(key_fields, extras)
+            else:
+                cache[key] = meshes.construct_mesh(
+                    **self._construct_inp(extras, source, freq))
         return cache[key]
+
+    def _construct_inp(self, extras, source, freq):
+        inp = dict(self.gridding_opts)
+        if 'frequency' in extras:
+            inp['frequency'] = self.survey.frequencies[freq]
+        if 'center' in extras:
+            inp['center'] = self.survey.sources[source].center
+        return inp
+
+    def _grid_all_snapped(self, key_fields, extras):
+        """Grid every sharing key eagerly, then snap shapes to classes.
+
+        Cold-start control for the multi-grid gridding modes
+        ('frequency'/'source'/'both'): executables are compiled per grid
+        SHAPE (cell widths are traced values), so padding the
+        automatically-constructed grids onto shared shape classes
+        (``meshes.snap_shapes``; growth bound ``shape_classes`` when
+        given as a float, default 1.35) compiles O(classes) multigrid
+        hierarchies instead of one per distinct grid.  Padding only
+        grows the buffer outward (``meshes.pad_mesh_cells``), so the
+        survey domain and its discretization are unchanged.
+        """
+        srcs = list(self.survey.sources) if 's' in key_fields else [None]
+        freqs = (list(self.survey.frequencies) if 'f' in key_fields
+                 else [None])
+        raw = {(s, f): meshes.construct_mesh(
+                   **self._construct_inp(extras, s, f))
+               for s in srcs for f in freqs}
+        growth = (1.35 if self.shape_classes is True
+                  else float(self.shape_classes))
+        classes = meshes.snap_shapes(
+            [g.shape_cells for g in raw.values()], max_growth=growth)
+        for k, g in raw.items():
+            target = classes[g.shape_cells]
+            self._shared_grids[k] = (
+                g if target == g.shape_cells
+                else meshes.pad_mesh_cells(g, target))
 
     def get_model(self, source, frequency):
         """Model interpolated to the task grid."""

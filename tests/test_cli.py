@@ -114,6 +114,17 @@ remove_empty = False
         assert cfg['data']['sources'] == ['TxED-1']
         assert cfg['simulation_options']['solver_opts']['tol'] == 1e-5
 
+    def test_shape_classes_values(self, tmp_path):
+        for raw, expected in (("True", True), ("1.7", 1.7)):
+            fname = os.path.join(str(tmp_path), 'sc.cfg')
+            with open(fname, 'w') as f:
+                f.write(f"[files]\npath = {tmp_path}\n"
+                        f"[simulation]\nshape_classes = {raw}\n")
+            args = default_args()
+            args['config'] = fname
+            cfg, _ = cli_parser.parse_config_file(args)
+            assert cfg['simulation_options']['shape_classes'] == expected
+
     def test_unknown_keys_raise(self, tmp_path):
         fname = write_cfg(str(tmp_path), extra="\n[simulation]\nfoo = 1\n")
         # configparser rejects duplicate sections -> use solver_opts typo.

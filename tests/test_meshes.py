@@ -184,3 +184,48 @@ class TestEstimateGriddingOpts:
         assert_allclose(vec['x'], self.grid.nodes_x)
         assert vec['y'] is None
         assert_allclose(vec['z'], self.grid.nodes_z)
+
+
+class TestShapeClasses:
+    """pad_mesh_cells + snap_shapes (cold-start shape classing)."""
+
+    def test_pad_mesh_cells(self):
+        h = [np.ones(8) * 10., np.ones(12) * 20., np.ones(16) * 30.]
+        grid = meshes.TensorMesh(h, origin=(0., 0., 0.))
+        out = meshes.pad_mesh_cells(grid, (12, 12, 17), alpha=1.5)
+        assert out.shape_cells == (12, 12, 17)
+        # Untouched dimension is identical.
+        assert_allclose(out.h[1], grid.h[1])
+        assert out.origin[1] == 0.0
+        # Padded: originals survive contiguously, extras grow outward.
+        assert_allclose(out.h[0][2:10], grid.h[0])
+        assert_allclose(out.h[0][:2], [10. * 1.5 ** 2, 10. * 1.5])
+        assert_allclose(out.h[0][10:], [10. * 1.5, 10. * 1.5 ** 2])
+        assert_allclose(out.origin[0], -10. * (1.5 + 1.5 ** 2))
+        # Odd extra count: the extra cell goes to the upper side.
+        assert_allclose(out.h[2][0], 30.)
+        assert out.origin[2] == 0.0
+        assert_allclose(out.h[2][-1], 30. * 1.5)
+        assert out.h[2].size == 17
+
+    def test_pad_mesh_cells_shrink_raises(self):
+        grid = meshes.TensorMesh([np.ones(8) * 10.] * 3, origin=(0.,) * 3)
+        with pytest.raises(ValueError, match="smaller than mesh"):
+            meshes.pad_mesh_cells(grid, (4, 8, 8))
+
+    def test_snap_shapes(self):
+        shapes = [(48, 48, 32), (64, 48, 40), (64, 64, 40), (128, 96, 80)]
+        out = meshes.snap_shapes(shapes, max_growth=1.35)
+        # 48 joins 64 (64/48 = 1.33 <= 1.35); 128 stays alone.
+        assert out[(48, 48, 32)] == (64, 64, 40)
+        assert out[(64, 48, 40)] == (64, 64, 40)
+        assert out[(64, 64, 40)] == (64, 64, 40)
+        assert out[(128, 96, 80)] == (128, 96, 80)
+        # Representatives are always existing values >= the member.
+        for s, c in out.items():
+            assert all(cc >= ss for ss, cc in zip(s, c))
+
+    def test_snap_shapes_growth_one(self):
+        shapes = [(48, 48, 32), (64, 48, 40)]
+        out = meshes.snap_shapes(shapes, max_growth=1.0)
+        assert out == {s: s for s in shapes}

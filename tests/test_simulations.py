@@ -590,7 +590,8 @@ class TestLayered:
 class TestAutoGridding:
     """Gridding modes with automatic mesh construction (no solves)."""
 
-    def make(self, gridding, **gopts):
+    def make(self, gridding, frequencies=(0.5, 2.0), **kwargs):
+        gopts = kwargs.pop('gridding_opts', {})
         h = np.ones(16) * 200.0
         grid = meshes.TensorMesh([h, h, h], origin=(-1600.,) * 3)
         model = e3.Model(grid, property_x=1.0, mapping='Resistivity')
@@ -598,12 +599,12 @@ class TestAutoGridding:
                    for x in [-300., 300.]]
         recs = [electrodes.RxElectricPoint((x, 0., -250., 0., 0.))
                 for x in [600., 900.]]
-        survey = surveys.Survey(sources, recs, [0.5, 2.0],
+        survey = surveys.Survey(sources, recs, list(frequencies),
                                 relative_error=0.05)
         return e3.Simulation(
             survey=survey, model=model, gridding=gridding,
             gridding_opts=gopts, tqdm_opts=False,
-            solver_opts={'plain': True, 'verb': 0})
+            solver_opts={'plain': True, 'verb': 0}, **kwargs)
 
     def test_single(self):
         sim = self.make('single')
@@ -638,3 +639,58 @@ class TestAutoGridding:
         grids = {sim.get_grid(s, f) for s in ('TxED-1', 'TxED-2')
                  for f in ('f-1', 'f-2')}
         assert len(grids) == 4
+
+    def test_shape_classes(self):
+        """shape_classes collapses per-frequency shapes onto classes.
+
+        XLA compiles per grid shape; the snapped Simulation must (a)
+        produce fewer distinct shapes, (b) only grow grids outward
+        (survey-domain discretization untouched), (c) keep every
+        dimension a good MG number, (d) round-trip through to_dict.
+        """
+        freqs = [0.1, 0.5, 2.0, 8.0]
+        plain = self.make('frequency', frequencies=freqs)
+        # This survey's shapes spread over a 1.67x-per-dim range; a 1.7
+        # growth bound collapses them (the 1.35 default is conservative).
+        snapped = self.make('frequency', frequencies=freqs,
+                            shape_classes=1.7)
+        fkeys = [f'f-{i + 1}' for i in range(len(freqs))]
+        shapes_plain = {plain.get_grid('TxED-1', f).shape_cells
+                        for f in fkeys}
+        shapes_snap = {snapped.get_grid('TxED-1', f).shape_cells
+                       for f in fkeys}
+        assert len(shapes_plain) > 1         # problem is multi-shape
+        assert len(shapes_snap) < len(shapes_plain)
+        good = meshes.good_mg_cell_nr()
+        for f in fkeys:
+            g0 = plain.get_grid('TxED-1', f)
+            g1 = snapped.get_grid('TxED-1', f)
+            assert all(n in good for n in g1.shape_cells)
+            # Outward-only growth: the original node set survives as a
+            # contiguous interior run of the padded grid.
+            for d, (n0, n1) in enumerate(zip(g0.shape_cells,
+                                             g1.shape_cells)):
+                assert n1 >= n0
+                nodes0 = g0.origin[d] + np.r_[
+                    0.0, np.cumsum(g0.h[d])]
+                nodes1 = g1.origin[d] + np.r_[
+                    0.0, np.cumsum(g1.h[d])]
+                i = np.searchsorted(nodes1, nodes0[0] - 1e-9)
+                assert np.allclose(nodes1[i:i + nodes0.size], nodes0)
+        # Round-trip keeps the flag.
+        sim2 = e3.Simulation.from_dict(snapped.to_dict('plain'))
+        assert sim2.shape_classes == 1.7
+        sim3 = e3.Simulation.from_dict(
+            self.make('frequency', shape_classes=True).to_dict('plain'))
+        assert sim3.shape_classes is True
+
+    def test_shape_classes_growth_bound(self):
+        """A tiny max_growth forbids any collapsing (classes = shapes)."""
+        freqs = [0.1, 0.5, 2.0, 8.0]
+        plain = self.make('frequency', frequencies=freqs)
+        strict = self.make('frequency', frequencies=freqs,
+                           shape_classes=1.0)
+        fkeys = [f'f-{i + 1}' for i in range(len(freqs))]
+        for f in fkeys:
+            assert (strict.get_grid('TxED-1', f).shape_cells
+                    == plain.get_grid('TxED-1', f).shape_cells)
