@@ -126,8 +126,10 @@ def main():
         "it_mg": info["it_mg"],
         "rel_error": float(info["rel_error"]),
     }
-    if platform:
-        out["platform"] = platform
+    if not platform:
+        import jax
+        platform = jax.default_backend()
+    out["platform"] = platform
     headline = best_recorded_headline()
     if headline:
         out["headline"] = headline

@@ -64,7 +64,7 @@ import numpy as np
 __all__ = [
     "is_transient", "probe", "probe_timed", "wait_healthy",
     "retry_transient", "reexec_if_born_bad",
-    "enable_compilation_cache", "HealthError",
+    "enable_compilation_cache", "tune_host_malloc", "HealthError",
 ]
 
 # Set to True by the first successful probe: distinguishes a service
@@ -298,6 +298,48 @@ def enable_compilation_cache(path="/tmp/emg3d_tpu_xla_cache"):
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return True
+
+
+_malloc_tuned = False
+
+
+def tune_host_malloc():
+    """Raise glibc's mmap/trim thresholds once, process-wide.
+
+    XLA:CPU allocates every op output with malloc, and glibc serves
+    requests above its dynamic mmap threshold (capped at 32 MB) with a
+    fresh mmap that is unmapped again on free — so each big-buffer
+    allocation pays page faults plus kernel zero-fill instead of
+    reusing warm heap pages.  Measured on this host: alloc+touch of a
+    135 MB buffer costs 42 ms from mmap vs 0.7 ms from the reused heap
+    (60x).  Field components cross 32 MB between 128^3 and 192^3,
+    which is exactly where the plain-cycle cells/s collapsed
+    (tools/bench_scale_results.jsonl: 59k at 128^3 -> 39k at 192^3 ->
+    18k at 256^3 while the kernels themselves scale linearly).
+
+    mallopt(M_MMAP_THRESHOLD / M_TRIM_THRESHOLD, 1 GB) makes glibc
+    serve and keep such blocks on the heap.  Freed memory is then
+    retained by the process (higher steady RSS) — acceptable for a
+    solver working set.  No-op on non-glibc libc or when
+    EMG3D_TPU_MALLOC_TUNE=0.  Returns whether tuning is in effect.
+    """
+    global _malloc_tuned
+    if _malloc_tuned:
+        return True
+    if os.environ.get("EMG3D_TPU_MALLOC_TUNE", "1") == "0":
+        return False
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        gb = 1 << 30
+        ok = (libc.mallopt(M_MMAP_THRESHOLD, gb) == 1
+              and libc.mallopt(M_TRIM_THRESHOLD, gb) == 1)
+    except Exception:
+        return False
+    _malloc_tuned = bool(ok)
+    return _malloc_tuned
 
 
 def retry_transient(thunk, what="device step", rebuild=None):

@@ -290,6 +290,13 @@ def _build_hierarchy(vmodel, sc_dir, lr_dir, clevel_max, placement=None):
     cdt = (config.complex_dtype()
            if np.iscomplexobj(vmodel.eta_x) else fdt)
 
+    # Big-grid CPU solves: keep XLA's op-output buffers on the glibc
+    # heap instead of per-allocation mmaps (see backend.tune_host_malloc
+    # for the measured 60x alloc-churn penalty above ~32 MB buffers).
+    if (int(np.prod(vmodel.grid.shape_cells)) * np.dtype(cdt).itemsize
+            > 32 * 2 ** 20 and jax.default_backend() == "cpu"):
+        backend.tune_host_malloc()
+
     # Host-side numpy copies of the finest level.
     eta_x = np.asarray(vmodel.eta_x)
     eta_y = np.asarray(vmodel.eta_y)
@@ -450,18 +457,48 @@ def _smooth_dev(e, s, arrs, c_lr_dir, nu):
     return e
 
 
-@functools.partial(jax.jit, static_argnames=('color',))
-def _gs_phase_jit(e, s, arrs, color):
+def _gs_phase_fn(e, s, arrs, color):
     P = (arrs['eta_x'], arrs['eta_y'], arrs['eta_z'], arrs['zeta'],
          arrs['hx'], arrs['hy'], arrs['hz'])
     return smoothers.gauss_seidel_phase(*e, *s, *P, *color)
 
 
-@functools.partial(jax.jit, static_argnames=('color', 'axis'))
-def _line_phase_jit(e, s, arrs, color, axis):
+_gs_phase_jit = jax.jit(_gs_phase_fn, static_argnames=('color',))
+_gs_phase_jit_don = jax.jit(_gs_phase_fn, static_argnames=('color',),
+                            donate_argnums=(0,))
+
+
+def _line_phase_fn(e, s, arrs, color, axis):
     P = (arrs['eta_x'], arrs['eta_y'], arrs['eta_z'], arrs['zeta'],
          arrs['hx'], arrs['hy'], arrs['hz'])
     return smoothers.gauss_seidel_line_phase(*e, *s, *P, *color, axis)
+
+
+_line_phase_jit = jax.jit(_line_phase_fn, static_argnames=('color', 'axis'))
+_line_phase_jit_don = jax.jit(_line_phase_fn,
+                              static_argnames=('color', 'axis'),
+                              donate_argnums=(0,))
+
+
+def _donate_on():
+    """Whether host-driven level ops donate their field buffers.
+
+    XLA:CPU allocates each executable's output buffers afresh with a
+    direct mmap (bypassing malloc), so above ~32 MB per buffer every
+    level-op dispatch pays page faults + kernel zero-fill — measured
+    5.8x on a 135 MB elementwise op, and the mechanism behind the
+    >=192^3 plain-cycle cells/s collapse (59k at 128^3 -> 18k at
+    256^3).  Donating the iterate lets XLA write in place.
+
+    Default 'auto' enables donation only on the CPU backend: the
+    tunneled-TPU path re-runs failed device steps from their captured
+    input buffers (backend.retry_transient), which donation would have
+    consumed.  EMG3D_TPU_DONATE = auto | 1 | 0, read per host dispatch.
+    """
+    mode = os.environ.get('EMG3D_TPU_DONATE', 'auto')
+    if mode == 'auto':
+        return jax.default_backend() == 'cpu'
+    return mode == '1'
 
 
 def _residual_dev(e, s, arrs):
@@ -522,24 +559,25 @@ def _smooth_phases(e, s, arrs, c_lr_dir, nu):
     are ~1/8 of a sweep).
     """
     shape = (arrs['hx'].size, arrs['hy'].size, arrs['hz'].size)
+    gs_p = _gs_phase_jit_don if _donate_on() else _gs_phase_jit
+    ln_p = _line_phase_jit_don if _donate_on() else _line_phase_jit
     # Each kernel completes its nu sweeps before the next one runs
     # (reference solver.py:836-846).
     if c_lr_dir == 0:
         for sweep in range(nu):
             for c in smoothers.phase_colors(shape, sweep % 2 == 1):
-                e = _sj(_gs_phase_jit(e, s, arrs, c))
+                e = _sj(gs_p(e, s, arrs, c))
     for axis, dirs in ((0, (1, 5, 6, 7)), (1, (2, 4, 6, 7)),
                        (2, (3, 4, 5, 7))):
         if c_lr_dir in dirs:
             for sweep in range(nu):
                 for c in smoothers.line_phase_colors(
                         shape, axis, sweep % 2 == 1):
-                    e = _sj(_line_phase_jit(e, s, arrs, c, axis))
+                    e = _sj(ln_p(e, s, arrs, c, axis))
     return e
 
 
-@functools.partial(jax.jit, static_argnames=('c_lr_dir', 'nu'))
-def _smooth_sweep_jit(e, s, arrs, c_lr_dir, nu):
+def _smooth_sweep_fn(e, s, arrs, c_lr_dir, nu):
     """Whole-smooth executable: all phases of all nu sweeps fused.
 
     One executable per (shape, smoother-kind, nu): ~16x fewer
@@ -549,6 +587,13 @@ def _smooth_sweep_jit(e, s, arrs, c_lr_dir, nu):
     the cold-friendly option (EMG3D_TPU_SMOOTH_DISPATCH=phase).
     """
     return _smooth_dev(e, s, arrs, c_lr_dir, nu)
+
+
+_smooth_sweep_jit = jax.jit(_smooth_sweep_fn,
+                            static_argnames=('c_lr_dir', 'nu'))
+_smooth_sweep_jit_don = jax.jit(_smooth_sweep_fn,
+                                static_argnames=('c_lr_dir', 'nu'),
+                                donate_argnums=(0,))
 
 
 def _smooth_dispatch():
@@ -562,7 +607,8 @@ def _smooth_dispatch():
 def _smooth_jit(e, s, arrs, c_lr_dir, nu):
     if _smooth_dispatch() == 'phase':
         return _smooth_phases(e, s, arrs, c_lr_dir, nu)
-    return _sj(_smooth_sweep_jit(e, s, arrs, c_lr_dir, nu))
+    sweep = _smooth_sweep_jit_don if _donate_on() else _smooth_sweep_jit
+    return _sj(sweep(e, s, arrs, c_lr_dir, nu))
 
 
 @df64.jit_exact
@@ -645,8 +691,7 @@ def _residual_norm_split_jit(e_hi, e_lo, s, arrs):
     return _residual_norm_split_core_jit(e_hi, e_lo, s, arrs)
 
 
-@df64.jit_exact
-def _accumulate_jit(e_hi, e_lo, de):
+def _accumulate_fn(e_hi, e_lo, de):
     """(e_hi, e_lo) += de with an error-free fast-two-sum per element.
 
     Keeps the multigrid corrections from rounding away once they are
@@ -665,6 +710,26 @@ def _accumulate_jit(e_hi, e_lo, de):
     return tuple(o[0] for o in out), tuple(o[1] for o in out)
 
 
+_accumulate_jit = df64.jit_exact(_accumulate_fn)
+# Donate the iterate pair only: the six outputs alias the six (e_hi,
+# e_lo) buffers exactly; adding de would leave unusable donations
+# (XLA warns per compile).
+_accumulate_jit_don = df64.jit_exact(_accumulate_fn,
+                                     donate_argnums=(0, 1))
+
+
+def _accumulate_call(e_hi, e_lo, de):
+    """Host-dispatch accumulate; donates all three fields when enabled.
+
+    Only for call sites where e_hi/e_lo/de are dead afterwards and
+    refer to three DISTINCT buffers (donating one buffer twice is an
+    error) — the solver drivers' threaded iterates qualify.
+    """
+    if _donate_on():
+        return _accumulate_jit_don(e_hi, e_lo, de)
+    return _accumulate_jit(e_hi, e_lo, de)
+
+
 @functools.partial(jax.jit, static_argnames=('coarsen',))
 def _restrict_jit(e, s, arrs, coarsen):
     """Fused residual + restriction -> (coarse source, zero guess).
@@ -677,9 +742,13 @@ def _restrict_jit(e, s, arrs, coarsen):
     return cs, tuple(jnp.zeros_like(c) for c in cs)
 
 
-@functools.partial(jax.jit, static_argnames=('coarsen',))
-def _prolong_jit(e, ce, arrs, coarsen):
+def _prolong_fn(e, ce, arrs, coarsen):
     return transfer.prolong(*e, *ce, arrs['pm'], coarsen)
+
+
+_prolong_jit = jax.jit(_prolong_fn, static_argnames=('coarsen',))
+_prolong_jit_don = jax.jit(_prolong_fn, static_argnames=('coarsen',),
+                           donate_argnums=(0,))
 
 
 @jax.jit
@@ -688,7 +757,7 @@ def _resnorm_jit(e, s, arrs):
 
 
 def _cycle_correction(meta, arrays, r, var, first, smooth=_smooth_jit,
-                      restrict=_restrict_jit, prolong=_prolong_jit):
+                      restrict=_restrict_jit, prolong=None):
     """One multigrid cycle applied to residual ``r`` from a zero guess.
 
     The multigrid cycle is a *linear* stationary iteration, so running it
@@ -703,6 +772,12 @@ def _cycle_correction(meta, arrays, r, var, first, smooth=_smooth_jit,
     nlevels = len(meta)
     cycle = var.cycle
     cycmax0 = var.cycmax
+    if prolong is None:
+        # Host-driven path: donate the fine iterate into the prolong
+        # executable when enabled.  The whole-cycle factories pass the
+        # undonated _prolong_jit explicitly (donation inside a trace
+        # is meaningless — XLA plans the fused program's buffers).
+        prolong = _prolong_jit_don if _donate_on() else _prolong_jit
 
     def track_smooth(e, s, arrs, c_lr_dir, nu, level):
         # The level trace feeds the verb>3 cycle-QC visualization
@@ -916,7 +991,7 @@ def _whole_step_factory(meta, meta2, cfg_key, first):
     @df64.jit_exact
     def step(e_hi, e_lo, s, arrays, arrays2, r):
         de = _cycle_correction(meta, arrays, r, cfg, first,
-                               smooth=_smooth_dev)
+                               smooth=_smooth_dev, prolong=_prolong_jit)
         e_hi2, e_lo2 = _accumulate_jit(e_hi, e_lo, de)
         r2, l2 = _residual_norm_split_core_jit(e_hi2, e_lo2, s,
                                                arrays2[0])
@@ -938,7 +1013,7 @@ def _whole_corr_factory(meta, cfg_key, first):
     @df64.jit_exact
     def step(e_hi, e_lo, r, arrays):
         de = _cycle_correction(meta, arrays, r, cfg, first,
-                               smooth=_smooth_dev)
+                               smooth=_smooth_dev, prolong=_prolong_jit)
         return _accumulate_jit(e_hi, e_lo, de)
 
     return step
@@ -998,7 +1073,7 @@ def multigrid(model, sfield, efield, var, **kwargs):
                     e_hi, e_lo, s, arrays, arrays2, r)
             else:
                 de = _cycle_correction(meta, arrays, r, var, first)
-                e_hi2, e_lo2 = _accumulate_jit(e_hi, e_lo, de)
+                e_hi2, e_lo2 = _accumulate_call(e_hi, e_lo, de)
                 r2, l2_dev = _residual_norm_split_jit(
                     e_hi2, e_lo2, s, arrays2[0])
             return e_hi2, e_lo2, (meta2, arrays2), r2, float(l2_dev)
@@ -1104,8 +1179,10 @@ def krylov(model, sfield, efield, var):
         (solver.py:710-728) incl. divergence/stagnation abort of the
         outer Krylov solver via _ConvergenceError.
         """
+        # Distinct zero buffers: the donating accumulate would reject
+        # e_lo aliasing e_hi (one buffer donated twice).
         e_hi = tuple(jnp.zeros_like(c) for c in s)
-        e_lo = e_hi
+        e_lo = tuple(jnp.zeros_like(c) for c in s)
         l2_stag = np.ones(var.maxcycle) * np.inf
         it = 0
         first = True
@@ -1139,7 +1216,7 @@ def krylov(model, sfield, efield, var):
                     return e_hi2, e_lo2, r2, float(l2_dev)
 
                 de = _cycle_correction(meta, arrays, r, var, first)
-                e_hi2, e_lo2 = _accumulate_jit(e_hi, e_lo, de)
+                e_hi2, e_lo2 = _accumulate_call(e_hi, e_lo, de)
                 if last:
                     jax.block_until_ready(e_hi2)
                     return e_hi2, e_lo2, None, None
