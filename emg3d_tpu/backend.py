@@ -280,6 +280,36 @@ def reexec_if_born_bad(argv=None, sleep=None):
     os.execv(sys.executable, [sys.executable] + argv)
 
 
+def sync_readback(tree, all_leaves=False):
+    """Synchronize on *completed execution* of outputs in ``tree``.
+
+    ``jax.block_until_ready`` has been observed, on the tunneled axon
+    TPU, to return at dispatch-ACK time while the executable has not
+    actually run server-side — per-op timings taken that way sit at
+    the ~0.1-1 ms dispatch floor regardless of workload size (the
+    2026-08-19/20 ``"platform": "tpu"`` rows of
+    ``bench_levels_results.jsonl``: a 256³ nu=2 smooth "in" 0.1 ms is
+    ~40× beyond any chip's HBM roofline, and 32³ timed *slower* than
+    256³).  Reading back a scalar *derived from* an output buffer
+    cannot complete before the producing executable has, so timing
+    loops must end reps with this instead.
+
+    Touches the first array leaf (one executable's outputs become
+    ready together); ``all_leaves=True`` touches every array leaf for
+    trees assembled from several executables.  Returns the touched
+    value(s) summed — also a cheap NaN canary for the timing loop.
+    """
+    import jax
+
+    tot = 0.0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ndim"):
+            tot += abs(complex(leaf[(0,) * leaf.ndim]))
+            if not all_leaves:
+                break
+    return tot
+
+
 def enable_compilation_cache(path="/tmp/emg3d_tpu_xla_cache"):
     """Persistent XLA compilation cache — enabled off-CPU only.
 

@@ -37,24 +37,53 @@ SIZES = [int(s) for s in os.environ.get(
 
 
 def emit(**kw):
+    # v2: kernel timings readback-synced (timed/measure_floor) — v1
+    # rows trusted block_until_ready, which the tunnel answers at
+    # dispatch-ACK time (backend.sync_readback).
+    kw["profile_version"] = 2
     kw["ts"] = time.time()
     with open(OUT, "a") as f:
         f.write(json.dumps(kw) + "\n")
     print(json.dumps(kw), flush=True)
 
 
+_READBACK_FLOOR = [0.0]
+
+
 def timed(fn, *args, n=10):
-    """Median wall time of fn(*args) with block_until_ready."""
-    import jax
+    """Median wall time of fn(*args), synced by scalar readback.
+
+    block_until_ready is NOT a completion barrier through the axon
+    tunnel (see backend.sync_readback) — every rep ends with a scalar
+    readback derived from the output instead, and the pre-measured
+    readback floor (measure_floor) is subtracted.
+    """
+    from emg3d_tpu import backend
 
     out = fn(*args)
-    jax.block_until_ready(out)          # compile + warm
+    backend.sync_readback(out)          # compile + warm
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        backend.sync_readback(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return max(float(np.median(ts)) - _READBACK_FLOOR[0], 0.0)
+
+
+def measure_floor():
+    """Dispatch+readback floor: sync_readback on a ready buffer."""
+    import jax.numpy as jnp
+    from emg3d_tpu import backend
+
+    x = jnp.ones((4, 4), jnp.complex64)
+    backend.sync_readback(x)
+    ts = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        backend.sync_readback(x)
+        ts.append(time.perf_counter() - t0)
+    _READBACK_FLOOR[0] = float(np.median(ts))
+    return _READBACK_FLOOR[0]
 
 
 # Peak HBM bandwidth per chip, GB/s (public chip specs), keyed by
@@ -173,10 +202,15 @@ def main():
     except Exception as exc:
         emit(metric="df64_eft_integrity_error", error=str(exc)[:200])
 
-    # 1. dispatch overhead.
+    # 1. dispatch overhead + the readback floor every kernel timing
+    # below subtracts (sync="readback" marks rows measured this way;
+    # older rows without it used block_until_ready, which the tunnel
+    # has answered at dispatch-ACK time — see backend.sync_readback).
+    emit(metric="readback_floor_s", value=measure_floor())
     x = jnp.ones(8)
     f = jax.jit(lambda a: a + 1.0)
-    emit(metric="dispatch_roundtrip_s", value=timed(f, x, n=30))
+    emit(metric="dispatch_roundtrip_s", value=timed(f, x, n=30),
+         sync="readback")
 
     for n in SIZES:
         try:
