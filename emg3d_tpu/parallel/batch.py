@@ -41,9 +41,17 @@ def _axes_of(arrs):
     stacked eta (4-D, batched over tasks) or shared eta (3-D, one copy)
     with a per-task ``eta_scale`` scalar.
     """
-    return {k: (0 if k in ("eta_scale", "eta_scale_lo")
+    axes = {k: (0 if k in ("eta_scale", "eta_scale_lo")
                 or (k.startswith("eta_") and arrs[k].ndim == 4)
                 else None) for k in arrs}
+    # Pre-blocked smoother operands in the stacked (per-task-eta)
+    # layout: the three eta block-tuples carry a leading task axis,
+    # the zeta blocks stay shared (frequency-independent).
+    if "blk" in arrs and arrs["blk"][0][0].ndim == 4:
+        axes["blk"] = (0, 0, 0, None)
+    if "blk_t" in arrs and next(iter(arrs["blk_t"].values()))[0][0].ndim == 4:
+        axes["blk_t"] = {ax: (0, 0, 0, None) for ax in arrs["blk_t"]}
+    return axes
 
 
 def _scaled(arrs):
@@ -579,22 +587,34 @@ def _build_hierarchy_batched(vmodels, sc_dir, lr_dir, clevel_max, mesh=None,
     if any(m != metas[0] for m in metas[1:]):
         raise ValueError("All tasks must share the same grid hierarchy.")
 
+    def _put(arr):
+        return jax.device_put(arr, spec_b) if spec_b is not None else arr
+
     stacked = []
     for lvl in range(len(metas[0])):
         out = dict(per_task[0][lvl])
-        # Pre-blocked operands are task-0's only — stacking blocked
-        # copies would cost O(B * cells); drop them so the smoother
-        # falls back to the strided layout in this (rare, epsilon_r)
-        # per-task-eta mode.
-        out.pop("blk", None)
-        out.pop("blk_t", None)
         for k in out:
             if not k.startswith("eta_"):
                 continue
-            arr = jnp.stack([pt[lvl][k] for pt in per_task])
-            if spec_b is not None:
-                arr = jax.device_put(arr, spec_b)
-            out[k] = arr
+            out[k] = _put(jnp.stack([pt[lvl][k] for pt in per_task]))
+        # Pre-blocked smoother operands: stack the eta block-tuples on
+        # a leading task axis too (same O(B*cells) class as the eta
+        # stacking above; zeta blocks are frequency-independent and
+        # stay shared).  _axes_of maps them with in_axes (0, 0, 0,
+        # None) so the vmapped smoother sees per-task 3-D sub-blocks.
+        def _stack_eta_blocks(packed_of, lvl=lvl):
+            packs = [packed_of(pt[lvl]) for pt in per_task]
+            return tuple(
+                tuple(_put(jnp.stack([p[i][b] for p in packs]))
+                      for b in range(len(packs[0][i])))
+                for i in range(3)) + (packed_of(per_task[0][lvl])[3],)
+
+        if "blk" in out:
+            out["blk"] = _stack_eta_blocks(lambda a: a["blk"])
+        if "blk_t" in out:
+            out["blk_t"] = {
+                ax: _stack_eta_blocks(lambda a, ax=ax: a["blk_t"][ax])
+                for ax in out["blk_t"]}
         stacked.append(out)
     return metas[0], stacked
 

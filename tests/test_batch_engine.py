@@ -357,3 +357,56 @@ def test_mg_shrink_parity(monkeypatch, capsys):
     assert info["exit_messages"] == rinfo["exit_messages"]
     assert_allclose(info["rel_error"][:2], rinfo["rel_error"][:2],
                     rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_per_task_eta_stacked_blocked_parity(monkeypatch):
+    """The per-task-eta mode (epsilon_r present) stacks the pre-blocked
+    smoother operands on the task axis and matches sequential solves.
+
+    epsilon_r makes eta affine (not linear) in s, disabling the
+    shared-eta scale path; the hierarchy stacks eta per task — and
+    since round 5 the parity-blocked smoother operands too, so the
+    blocked layout (the CPU/TPU default where it wins) no longer
+    silently degrades to strided gathers in this mode.
+    """
+    import jax
+
+    from emg3d_tpu import fields, meshes, models, solver
+
+    monkeypatch.setenv("EMG3D_TPU_SMOOTHER", "blocked")
+    jax.clear_caches()
+
+    h = np.ones(8) * 200.0
+    grid = meshes.TensorMesh([h, h, h], origin=(-800.0, -800.0, -800.0))
+    model = models.Model(grid, property_x=1.0, epsilon_r=1.0)
+
+    freqs = [0.7, 1.3]
+    src = (0, 0, 0, 0, 0)
+    sfields = [fields.get_source_field(grid, src, frequency=f)
+               for f in freqs]
+
+    # The stacked hierarchy really carries task-stacked blocked eta
+    # (4-D leaves) with shared (3-D) zeta blocks.
+    vmodels = [models.VolumeModel(model, sf) for sf in sfields]
+    # clevel bounded like _BatchHierarchies.get does (8**3 -> 3 levels).
+    meta, levels = batch._build_hierarchy_batched(vmodels, 0, 1, 3)
+    assert "blk" in levels[0]
+    assert levels[0]["blk"][0][0].ndim == 4
+    assert levels[0]["blk"][3][0].ndim == 3
+    axes = batch._axes_of(levels[0])
+    assert axes["blk"] == (0, 0, 0, None)
+
+    kw = dict(cycle='F', tol=1e-7, maxit=20, linerelaxation=True)
+    out, info = batch.solve_batch_fields(model, sfields, **kw)
+
+    for sf, o in zip(sfields, out):
+        ref = fields.Field(grid, frequency=sf._frequency)
+        solver.solve(model, sf, efield=ref, verb=-1, sslsolver=False,
+                     semicoarsening=False, **kw)
+        # Norm-relative: both solves converged to tol 1e-7
+        # independently; pointwise rtol on ~1e-25 denormal entries is
+        # meaningless.
+        diff = np.linalg.norm(o.field - ref.field)
+        assert diff <= 1e-6 * np.linalg.norm(ref.field)
+    jax.clear_caches()
