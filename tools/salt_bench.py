@@ -15,6 +15,11 @@ Environment knobs:
   SALT_BATCH=1    use the device-mesh batched Simulation mode
   SALT_PLAIN=1    plain F-cycles instead of the production config
                   (CPU-affordable: skips the line-smoother compiles)
+  SALT_SKIP_WARM=1  skip the warm repeat of the full survey forward
+                  (at the 2 M-cell / 64-source target scale the repeat
+                  costs ~45 min on the 1-core CPU host; sources 2..n of
+                  the cold pass already run warm, so per-source
+                  steady-state throughput is still measurable)
 
 Run from the repository root:  python tools/salt_bench.py
 """
@@ -128,13 +133,14 @@ def main():
     # Warm pass: drop the fields, keep the compiled executables —
     # the steady-state survey throughput (what a production fleet
     # iterating over models sees).
-    sim.clean('computed')
-    t0 = time.perf_counter()
-    sim.compute(observed=True)
-    t_warm = time.perf_counter() - t0
-    emit(metric="forward_survey_warm_s", value=round(t_warm, 2),
-         per_source_s=round(t_warm / nsrc, 2),
-         cells_per_s=round(grid.n_cells * nsrc / t_warm))
+    if not os.environ.get("SALT_SKIP_WARM"):
+        sim.clean('computed')
+        t0 = time.perf_counter()
+        sim.compute(observed=True)
+        t_warm = time.perf_counter() - t0
+        emit(metric="forward_survey_warm_s", value=round(t_warm, 2),
+             per_source_s=round(t_warm / nsrc, 2),
+             cells_per_s=round(grid.n_cells * nsrc / t_warm))
 
     t0 = time.perf_counter()
     misfit = float(sim.misfit)
